@@ -1,0 +1,19 @@
+"""searchengine_ray — a Ray-Data-native full-text index build + BM25 query engine.
+
+A from-scratch rebuild of the capabilities of GuyShimony/SearchEngine
+(reference at /root/reference, studied for behavior only) re-expressed as
+Ray Data pipelines:
+
+- tokenization runs as ``map_batches`` over zero-copy Arrow batches
+  (vectorized simple profile; compiled-regex actor pool for the
+  reference-parity profile),
+- per-partition posting-run construction + a ``groupby(term)`` merge
+  shuffle produce a sharded, delta+varbyte-compressed inverted index,
+- query-time BM25/inner-product scoring reproduces the reference's exact
+  formulas (``Part C/ranker.py:62-86``, ``Part C/searcher.py``).
+
+Nothing in this package calls ``ray.init``/``ray.shutdown``; sessions are
+owned by the caller (driver, tests, bench.py).
+"""
+
+__version__ = "0.1.0"

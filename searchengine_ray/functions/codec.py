@@ -1,0 +1,100 @@
+"""Delta + varbyte posting-list codec (vectorized numpy).
+
+The reference keeps postings as Python dicts (``Part C/indexer.py:71-81``)
+or pickled lists (``Part A/merger.py:44-48``); this rebuild stores each
+posting run as a compact binary blob:
+
+    varbyte(n) | varbyte(delta(doc_id_1..n)) | varbyte(tf_1..n)
+
+- doc_ids must be strictly increasing u64 (delta-encoded, first value
+  stored raw).
+- varbyte = little-endian 7-bit groups, MSB set ⇒ continuation.
+
+Both directions are vectorized: encode loops only over the ≤10 byte
+positions, decode uses ``np.add.reduceat`` over group boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["varbyte_encode", "varbyte_decode", "encode_postings", "decode_postings"]
+
+_U64 = np.uint64
+_MAX_GROUPS = 10  # ceil(64 / 7)
+
+
+def varbyte_encode(values: np.ndarray) -> np.ndarray:
+    """Encode a u64 array to a uint8 varbyte stream."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8)
+    ngroups = np.ones(v.size, dtype=np.int64)
+    for k in range(1, _MAX_GROUPS):
+        ngroups += (v >= _U64(1) << _U64(7 * k)).astype(np.int64)
+    ends = np.cumsum(ngroups)
+    starts = ends - ngroups
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for j in range(_MAX_GROUPS):
+        mask = ngroups > j
+        if not mask.any():
+            break
+        byte = ((v[mask] >> _U64(7 * j)) & _U64(0x7F)).astype(np.uint8)
+        cont = (ngroups[mask] - 1) > j
+        byte[cont] |= 0x80
+        out[starts[mask] + j] = byte
+    return out
+
+
+def varbyte_decode(buf: np.ndarray) -> np.ndarray:
+    """Decode a uint8 varbyte stream back to a u64 array."""
+    b = np.frombuffer(memoryview(buf), dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if b.size == 0:
+        return np.empty(0, dtype=_U64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, ends - starts + 1)
+    contrib = (b & 0x7F).astype(_U64) << (_U64(7) * pos.astype(_U64))
+    return np.add.reduceat(contrib, starts)
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray) -> bytes:
+    """Encode one sorted posting run (doc_ids strictly increasing u64).
+
+    Layout: varbyte(n) | varbyte(delta doc_ids) | varbyte(tfs) |
+    varbyte(doc_lens).  Carrying doc_len per entry keeps query-time
+    norm_tf = tf/doc_len (reference ``Part C/indexer.py:67``) computable
+    without a doc-stats lookup per candidate.
+    """
+    d = np.ascontiguousarray(doc_ids, dtype=_U64)
+    n = d.size
+    if n:
+        deltas = np.empty(n, dtype=_U64)
+        deltas[0] = d[0]
+        np.subtract(d[1:], d[:-1], out=deltas[1:])
+    else:
+        deltas = d
+    parts = [
+        varbyte_encode(np.array([n], dtype=_U64)),
+        varbyte_encode(deltas),
+        varbyte_encode(np.ascontiguousarray(tfs, dtype=_U64)),
+        varbyte_encode(np.ascontiguousarray(doc_lens, dtype=_U64)),
+    ]
+    return b"".join(p.tobytes() for p in parts)
+
+
+def decode_postings(blob) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a run blob → (doc_ids int64 ascending, tfs int64, doc_lens int64).
+
+    doc_ids are 63-bit (see hashing.doc_id_i64) so the u64→i64 view is lossless.
+    """
+    vals = varbyte_decode(np.frombuffer(blob, dtype=np.uint8))
+    n = int(vals[0]) if vals.size else 0
+    deltas = vals[1 : 1 + n]
+    tfs = vals[1 + n : 1 + 2 * n].astype(np.int64)
+    doc_lens = vals[1 + 2 * n : 1 + 3 * n].astype(np.int64)
+    doc_ids = np.cumsum(deltas, dtype=_U64).astype(np.int64)
+    return doc_ids, tfs, doc_lens

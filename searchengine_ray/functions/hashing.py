@@ -1,0 +1,66 @@
+"""Stable, vectorized hashing helpers.
+
+All hashes here are deterministic within this environment and across Ray
+workers/processes (no PYTHONHASHSEED dependence):
+
+- ``hash_str_u64``: SipHash-1-3 of utf8 bytes via ``pandas.util.hash_array``
+  with the fixed default key — C speed, vectorized over object arrays.
+- ``splitmix64``: cheap bijective mixer used to combine keys.
+- ``doc_id_u64``: the engine's internal document id,
+  ``mix(hash(conv_id) ^ mix(turn_idx))``.  Internal only — every
+  user-visible output surfaces ``(conv_id, turn_idx)``; at 10^12-turn
+  scale this would widen to 128 bits (two u64 columns) or be replaced by
+  a dense per-bucket enumeration to improve delta compression.  The build
+  verifies injectivity on its input (count(distinct doc_id) == n_docs).
+- ``term_shard``: crc32(term) % n_shards, the posting-shard partitioner
+  (reimagines the per-first-letter buckets of
+  reference ``Part A/posting_file_factory.py:25-51`` without the
+  alphabet skew).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["splitmix64", "hash_str_u64", "doc_id_i64", "term_shard"]
+
+_U64 = np.uint64
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant mixer)."""
+    with np.errstate(over="ignore"):
+        z = x.astype(_U64, copy=True)
+        z += _U64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+        return z ^ (z >> _U64(31))
+
+
+def hash_str_u64(strings) -> np.ndarray:
+    """Stable u64 hash of each string in a sequence/array."""
+    arr = np.asarray(strings, dtype=object)
+    return pd.util.hash_array(arr, categorize=False).astype(_U64)
+
+
+def doc_id_i64(conv_id, turn_idx) -> np.ndarray:
+    """Deterministic internal doc id from the user-visible composite key.
+
+    Masked to 63 bits and returned as int64 so the id flows through Ray
+    Data groupbys, Arrow and DuckDB without unsigned-overflow conversions
+    (and never silently promotes to float64 in numpy searchsorted).
+    """
+    h = hash_str_u64(conv_id)
+    t = np.asarray(turn_idx).astype(_U64)
+    return (splitmix64(h ^ splitmix64(t)) >> _U64(1)).astype(np.int64)
+
+
+def term_shard(terms, n_shards: int) -> np.ndarray:
+    """crc32-based shard id per term (stable across processes)."""
+    out = np.empty(len(terms), dtype=np.int32)
+    for i, t in enumerate(terms):
+        out[i] = zlib.crc32(t.encode("utf-8")) % n_shards
+    return out

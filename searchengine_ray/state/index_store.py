@@ -1,0 +1,127 @@
+"""Sharded index reader.
+
+Replaces the reference's pickle load of the whole index
+(``Part C/indexer.py:91-108``, ``Part C/utils.py:16-41``) with pruned
+parquet reads: the term dictionary is small and loaded eagerly; posting
+chunks are fetched per query term via hive-partition (shard) pruning +
+a term predicate pushed into pyarrow.dataset, so a query touches only
+the row groups holding its terms' postings.  Doc stats (the forward
+table, reference ``indexer.py:47-48``) are loaded lazily and kept as
+doc_id-sorted arrays for binary-search candidate lookup.
+
+Scale note (10^12 turns): the dictionary itself would be sharded by the
+same crc32 partitioner and memoized per query-serving actor; docstats
+lookups would read only the doc_id ranges of the final top-k, which is
+what the sorted layout here already models.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow.dataset as pads
+
+from ..functions.codec import decode_postings
+from ..functions.hashing import term_shard
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "index_meta.json")) as f:
+            self.meta = json.load(f)
+        self.n_docs = self.meta["n_docs"]
+        self.avgdl = self.meta["avgdl"]
+        self.n_shards = self.meta["n_shards"]
+        dic = pads.dataset(os.path.join(index_dir, "dictionary")).to_table()
+        self._dict = {
+            t: (df, cf, sh)
+            for t, df, cf, sh in zip(
+                dic["term"].to_pylist(),
+                dic["df"].to_pylist(),
+                dic["cf"].to_pylist(),
+                dic["shard"].to_pylist(),
+            )
+        }
+        self._postings_ds = pads.dataset(
+            os.path.join(index_dir, "postings"), partitioning="hive"
+        )
+        self._docmap = None
+        self._doc_weights = None
+
+    # -- dictionary ------------------------------------------------------
+    def has_term(self, term: str) -> bool:
+        return term in self._dict
+
+    def df(self, term: str) -> int:
+        return self._dict[term][0]
+
+    def vocabulary(self):
+        return self._dict.keys()
+
+    # -- postings --------------------------------------------------------
+    def chunk_meta(self, term: str):
+        """Chunk metadata rows for WAND: (chunk_idx, doc_min, doc_max, max_ntf)."""
+        tbl = self._term_chunks(term, columns=["chunk_idx", "doc_min", "doc_max", "max_ntf"])
+        order = np.argsort(tbl["chunk_idx"].to_numpy())
+        return {
+            "chunk_idx": tbl["chunk_idx"].to_numpy()[order],
+            "doc_min": tbl["doc_min"].to_numpy()[order],
+            "doc_max": tbl["doc_max"].to_numpy()[order],
+            "max_ntf": tbl["max_ntf"].to_numpy()[order],
+        }
+
+    def postings(self, term: str, chunk_ids=None):
+        """Decoded postings for a term → (ids, tfs, lens) in doc_id order;
+        optionally restricted to a set of chunk indices."""
+        if term not in self._dict:
+            return None
+        tbl = self._term_chunks(term, columns=["chunk_idx", "run"])
+        cidx = tbl["chunk_idx"].to_numpy()
+        order = np.argsort(cidx)
+        runs = tbl["run"].to_pylist()
+        parts = [
+            decode_postings(runs[i])
+            for i in order
+            if chunk_ids is None or cidx[i] in chunk_ids
+        ]
+        if not parts:
+            return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+        return tuple(np.concatenate([p[j] for p in parts]) for j in range(3))
+
+    def _term_chunks(self, term: str, columns):
+        shard = self._dict[term][2] if term in self._dict else int(term_shard([term], self.n_shards)[0])
+        return self._postings_ds.to_table(
+            columns=columns,
+            filter=(pads.field("shard") == shard) & (pads.field("term") == term),
+        )
+
+    # -- doc map / stats -------------------------------------------------
+    def docmap(self):
+        """doc_id-sorted arrays: (doc_id, conv_id, turn_idx, doc_len, max_tf, n_curses)."""
+        if self._docmap is None:
+            t = pads.dataset(os.path.join(self.index_dir, "docstats")).to_table(
+                columns=["doc_id", "conv_id", "turn_idx", "doc_len", "max_tf", "n_curses"]
+            )
+            ids = t["doc_id"].to_numpy()
+            order = np.argsort(ids)
+            self._docmap = {
+                "doc_id": ids[order],
+                "conv_id": t["conv_id"].to_numpy(zero_copy_only=False)[order],
+                "turn_idx": t["turn_idx"].to_numpy()[order],
+                "doc_len": t["doc_len"].to_numpy()[order],
+                "max_tf": t["max_tf"].to_numpy()[order],
+                "n_curses": t["n_curses"].to_numpy()[order],
+            }
+        return self._docmap
+
+    def doc_weights(self):
+        """doc_id-sorted Σw² table (built by compute_doc_weights)."""
+        if self._doc_weights is None:
+            t = pads.dataset(os.path.join(self.index_dir, "doc_weights")).to_table()
+            ids = t["doc_id"].to_numpy()
+            order = np.argsort(ids)
+            self._doc_weights = (ids[order], t["doc_weight_sq"].to_numpy()[order])
+        return self._doc_weights
