@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in searchengine_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline — build the inverted index over the
+  transcript table derived from /root/testdata/sf0.001 and run the
+  conformance search queries (blend = 0.9·BM25 + 0.1·inner-product).
+- ``queries()`` / ``oracle_sql()``: one entry per implemented operator
+  (SURVEY.md §2) with its DuckDB twin; compared by the driver at sf0.01.
 """
 
 from __future__ import annotations
@@ -20,25 +17,32 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pyarrow as pa
+
+    from searchengine_ray.oracle.sql import SEARCH_QUERY_TEXT
+    from searchengine_ray.pipelines.entry_queries import engine_for
+
+    eng = engine_for("/root/testdata/sf0.001")
+    parts = []
+    for q in (SEARCH_QUERY_TEXT, "window merge batch", "dup stream vector"):
+        res = eng.search(q, k=10)
+        parts.append(
+            res.add_column(0, "query", pa.array([q] * res.num_rows, pa.string()))
+        )
+    return pa.concat_tables(parts)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from searchengine_ray.pipelines.entry_queries import SEARCH_CORE_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(SEARCH_CORE_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from searchengine_ray.oracle.sql import search_core_sql
+
+    out: dict[str, str] = {}
+    out.update(search_core_sql())
+    return out

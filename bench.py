@@ -1,0 +1,180 @@
+"""Benchmark: index-build throughput (turns/sec) + BM25 query latency.
+
+Headline pipeline over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
+transcripts are derived deterministically from the documents table and
+replicated GRAFT_BENCH_REP times (distinct conv_id namespaces) so the
+build is large enough to measure; then a fixed query set runs through
+the exact scorer and the WAND fast path.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the same job in fresh processes at num_cpus=8 and 32 on
+the same (pre-warmed) input and reports both throughputs plus the
+scaling efficiency — the in-sandbox proxy for the N→4N cluster-size
+criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REP = int(os.environ.get("GRAFT_BENCH_REP", "20"))
+N_FILES = int(os.environ.get("GRAFT_BENCH_FILES", "32"))
+PROFILE = os.environ.get("GRAFT_BENCH_PROFILE", "simple")
+
+QUERY_WORDS = (
+    "spark join fast table window merge batch stream dup vector sort key "
+    "hash filter value row line part order customer query data small big slow"
+).split()
+
+
+def bench_queries():
+    qs = []
+    for i in range(30):
+        w = [QUERY_WORDS[(i * 7 + j * 3) % len(QUERY_WORDS)] for j in range(2 + i % 4)]
+        qs.append(" ".join(dict.fromkeys(w)))
+    return qs
+
+
+def prepare_corpus() -> str:
+    """Replicated transcript corpus parquet (deterministic, cached)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.sources.transcripts import derive_transcripts_batch
+
+    tag = os.path.normpath(SF_DIR).replace("/", "_").strip("_")
+    out = f"/tmp/se_ray_bench_corpus_{tag}_r{REP}_f{N_FILES}"
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    docs = pq.read_table(os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"])
+    base = derive_transcripts_batch(docs)
+    reps = []
+    for r in range(REP):
+        t = base
+        conv = pc.binary_join_element_wise(pc.cast(pa.scalar(f"r{r:03d}_"), pa.string()), t["conv_id"], "")
+        reps.append(t.set_column(t.schema.get_field_index("conv_id"), "conv_id", conv))
+    full = pa.concat_tables(reps).combine_chunks()
+    n = full.num_rows
+    per = (n + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        pq.write_table(full.slice(i * per, per), os.path.join(out, f"part-{i:05d}.parquet"))
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write(str(n))
+    return out
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from searchengine_ray.pipelines.build import build_index
+    from searchengine_ray.pipelines.search import QueryEngine
+
+    corpus = prepare_corpus()
+    with open(os.path.join(corpus, "_DONE")) as f:
+        n_turns = int(f.read())
+    # warm the page cache so we measure compute + shuffle, not first disk read
+    for p in sorted(os.listdir(corpus)):
+        if p.endswith(".parquet"):
+            with open(os.path.join(corpus, p), "rb") as fh:
+                fh.read()
+
+    idx = f"/tmp/se_ray_bench_index_{NUM_CPUS}"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    stats = build_index(corpus, idx, profile=PROFILE, concurrency=NUM_CPUS)
+    build_sec = time.perf_counter() - t0
+
+    qe = QueryEngine(idx)
+    lat_exact, lat_wand = [], []
+    for q in bench_queries():
+        t = time.perf_counter()
+        qe.search(q, k=10)
+        lat_exact.append(time.perf_counter() - t)
+        t = time.perf_counter()
+        qe.search(q, k=10, method="wand")
+        lat_wand.append(time.perf_counter() - t)
+    query_sec = sum(lat_exact)
+    lat_exact.sort()
+    lat_wand.sort()
+    p95 = lat_exact[int(0.95 * (len(lat_exact) - 1))]
+    p95_wand = lat_wand[int(0.95 * (len(lat_wand) - 1))]
+
+    ray.shutdown()
+    shutil.rmtree(idx, ignore_errors=True)
+    headline = build_sec + query_sec
+    return {
+        "metric": "index-build + 30-query BM25 batch wall time",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {
+            "build": round(build_sec, 3),
+            "build_turns_per_sec": round(n_turns / build_sec, 1),
+            "query_batch": round(query_sec, 4),
+            "query_p95_ms": round(p95 * 1000, 2),
+            "query_p95_wand_ms": round(p95_wand * 1000, 2),
+            "n_turns": n_turns,
+            "n_terms": stats["n_terms"],
+            "n_postings": stats["n_postings"],
+        },
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling():
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    prepare_corpus()  # shared, warmed input
+    r_lo, r_hi = sub(lo), sub(hi)
+    t_lo, t_hi = r_lo["queries"]["build"], r_hi["queries"]["build"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "build-throughput scaling efficiency (8→32 cpus)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "turns_per_sec_8": r_lo["queries"]["build_turns_per_sec"],
+        "turns_per_sec_32": r_hi["queries"]["build_turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "value_8": r_lo["value"],
+        "value_32": r_hi["value"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_once()))

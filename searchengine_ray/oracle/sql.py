@@ -1,0 +1,120 @@
+"""DuckDB oracle SQL for the search-core pipelines.
+
+Each query here is the ANSI-SQL twin of a ``queries()`` callable in
+``__ray_entry__``: same derived transcript table (TRANSCRIPTS_CTE), same
+tokenizer (sql_tokens_cte == functions.tokenize.simple_tokenize_flat),
+same scoring formulas as pipelines/search.py, same explicit rounding
+(functions.rounding) and same deterministic ordering — so the driver's
+row-count/schema/value-hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+from ..functions.rounding import sql_round_half_up
+from ..functions.tokenize import sql_tokens_cte
+from ..sources.transcripts import TRANSCRIPTS_CTE
+
+# BM25 constants — reference Part C/ranker.py:62 (k=3, b=0.6); blend
+# weights reference ranker.py:32.
+_NTF = "(tf.tf::DOUBLE / ds.doc_len)"
+_BM25_TERM = (
+    f"log2(s.n_docs::DOUBLE / d.df) * ({_NTF} * ({_NTF} * 4.0))"
+    f" / ({_NTF} + 3.0 * (1 - 0.6 + 0.6 * ds.doc_len / s.avgdl))"
+)
+_INNER_TERM = f"{_NTF} * log10(s.n_docs::DOUBLE / d.df)"
+
+SEARCH_PREFIX = (
+    "WITH "
+    + TRANSCRIPTS_CTE.strip().rstrip(",")
+    + ",\n"
+    + sql_tokens_cte("transcripts").strip()
+    + """,
+tf AS (
+    SELECT conv_id, turn_idx, term, count(*)::BIGINT AS tf
+    FROM tokens GROUP BY conv_id, turn_idx, term
+),
+docstats AS (
+    SELECT conv_id, turn_idx, sum(tf)::BIGINT AS doc_len,
+           count(*)::BIGINT AS n_terms, max(tf)::BIGINT AS max_tf,
+           sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singleton
+    FROM tf GROUP BY conv_id, turn_idx
+),
+stats AS (
+    SELECT count(*)::BIGINT AS n_docs, sum(doc_len)::BIGINT AS total_len,
+           sum(doc_len)::DOUBLE / count(*) AS avgdl
+    FROM docstats
+),
+df AS (
+    SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+    FROM tf GROUP BY term
+)
+"""
+)
+
+# The fixed conformance query (all terms distinct, none stopworded, so
+# every q_tf = 1 — mirrors reference searcher.py:69-72).
+SEARCH_QUERY_TEXT = "spark join fast table"
+_QTERMS = ", ".join(f"('{t}')" for t in SEARCH_QUERY_TEXT.split())
+
+_CAND = f"""
+qterms(term) AS (VALUES {_QTERMS}),
+cand AS (
+    SELECT tf.conv_id, tf.turn_idx,
+           sum({_BM25_TERM}) AS bm25,
+           sum({_INNER_TERM}) AS inner_p
+    FROM tf
+    JOIN qterms q ON tf.term = q.term
+    JOIN df d ON d.term = tf.term
+    JOIN docstats ds ON ds.conv_id = tf.conv_id AND ds.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY tf.conv_id, tf.turn_idx
+)
+"""
+
+
+def _topk_sql(score_expr: str, k: int = 10, extra_join: str = "", where: str = "") -> str:
+    return (
+        SEARCH_PREFIX
+        + ", "
+        + _CAND
+        + f"""
+SELECT c.conv_id, c.turn_idx, {sql_round_half_up(score_expr, 4)} AS score
+FROM cand c {extra_join}
+{where}
+ORDER BY floor(({score_expr}) * 1000000 + 0.5) DESC, c.conv_id, c.turn_idx
+LIMIT {k}
+"""
+    )
+
+
+def search_core_sql() -> dict[str, str]:
+    blend = "0.9 * c.bm25 + 0.1 * c.inner_p"
+    return {
+        "build_doc_stats": SEARCH_PREFIX
+        + "SELECT conv_id, turn_idx, doc_len, n_terms, max_tf, n_singleton FROM docstats",
+        "build_term_stats": SEARCH_PREFIX + "SELECT term, df, cf FROM df",
+        "corpus_stats": SEARCH_PREFIX
+        + f"""SELECT n_docs, total_len, {sql_round_half_up('avgdl', 6)} AS avgdl,
+              (SELECT count(*) FROM df)::BIGINT AS n_terms FROM stats""",
+        "top_terms": SEARCH_PREFIX
+        + "SELECT term, df, cf FROM df ORDER BY df DESC, term LIMIT 20",
+        "postings_sample": SEARCH_PREFIX
+        + """SELECT term, conv_id, turn_idx, tf FROM tf
+             WHERE term IN ('spark', 'merge', 'window', 'dup')""",
+        "bm25_topk": _topk_sql("c.bm25"),
+        "inner_topk": _topk_sql("c.inner_p"),
+        "blend_topk": _topk_sql(blend),
+        "role_filter_search": _topk_sql(
+            blend,
+            extra_join="JOIN transcripts t ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx",
+            where="WHERE t.role = 'user'",
+        ),
+        "tfidf_doc_weights": SEARCH_PREFIX
+        + f"""SELECT tf.conv_id, tf.turn_idx,
+              {sql_round_half_up(f'sum(pow({_INNER_TERM}, 2))', 3)} AS doc_weight_sq
+              FROM tf
+              JOIN df d ON d.term = tf.term
+              JOIN docstats ds ON ds.conv_id = tf.conv_id AND ds.turn_idx = tf.turn_idx
+              CROSS JOIN stats s
+              GROUP BY tf.conv_id, tf.turn_idx""",
+    }

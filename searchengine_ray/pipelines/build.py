@@ -116,12 +116,13 @@ def build_index(
         ]
         if pending:
             ctrl = rd.from_items([{"pid": p, "path": f} for p, f in pending])
+            pool = max(1, min(concurrency or 8, len(pending)))
             metrics = ctrl.map_batches(
                 _TokenizePartition,
                 fn_constructor_args=(prof.name, index_dir),
                 batch_size=1,
                 batch_format="pyarrow",
-                concurrency=min(8, len(pending)),
+                concurrency=pool,
                 num_cpus=1,
             ).take_all()
             for m in metrics:
@@ -134,7 +135,7 @@ def build_index(
                 TokenizeStage,
                 fn_constructor_args=(prof.name,),
                 batch_format="pyarrow",
-                concurrency=(1, 8),
+                concurrency=(1, concurrency or 8),
             )
             shutil.rmtree(os.path.join(index_dir, "tokenized"), ignore_errors=True)
             tok.write_parquet(os.path.join(index_dir, "tokenized"))

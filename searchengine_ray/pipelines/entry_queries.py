@@ -1,0 +1,167 @@
+"""Engine-side callables for the driver contract (__ray_entry__.queries).
+
+Each function takes ``sf_dir`` and returns a pyarrow Table whose schema,
+values and rounding match the DuckDB oracle in ``oracle/sql.py``.  The
+index for a given sf_dir/profile is built once (resumable build) into a
+/tmp cache and reused across calls within and across processes.
+
+No ray.init()/shutdown() here — sessions are owned by the caller.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+from ..functions.rounding import round_half_up
+from ..oracle.sql import SEARCH_QUERY_TEXT
+from ..sources.transcripts import transcripts_from_documents
+from .build import build_index, compute_doc_weights
+from .search import QueryEngine
+
+CACHE_VERSION = "v1"
+_CACHE_ROOT = f"/tmp/searchengine_ray_cache_{CACHE_VERSION}"
+_ENGINES: dict[tuple, QueryEngine] = {}
+
+
+def index_for(sf_dir: str, profile: str = "simple") -> str:
+    tag = os.path.normpath(sf_dir).replace("/", "_").strip("_")
+    idx = os.path.join(_CACHE_ROOT, f"{tag}_{profile}")
+    if not os.path.exists(os.path.join(idx, "index_meta.json")):
+        build_index(transcripts_from_documents(sf_dir), idx, profile=profile)
+    marker = os.path.join(idx, "doc_weights", "_DONE")
+    if not os.path.exists(marker):
+        compute_doc_weights(idx)
+        with open(marker, "w") as f:
+            f.write("1")
+    return idx
+
+
+def engine_for(sf_dir: str, profile: str = "simple") -> QueryEngine:
+    idx = index_for(sf_dir)  # scoring profiles share the "simple" index
+    key = (idx, profile)
+    if key not in _ENGINES:
+        _ENGINES[key] = QueryEngine(idx, profile=profile)
+    return _ENGINES[key]
+
+
+def _round_score(tbl: pa.Table, col: str = "score", decimals: int = 4) -> pa.Table:
+    i = tbl.schema.get_field_index(col)
+    return tbl.set_column(i, col, pa.array(round_half_up(tbl[col].to_numpy(), decimals)))
+
+
+# ---------------------------------------------------------------------------
+# queries() callables
+# ---------------------------------------------------------------------------
+
+def q_build_doc_stats(sf_dir: str) -> pa.Table:
+    idx = index_for(sf_dir)
+    return pads.dataset(os.path.join(idx, "docstats")).to_table(
+        columns=["conv_id", "turn_idx", "doc_len", "n_terms", "max_tf", "n_singleton"]
+    )
+
+
+def q_build_term_stats(sf_dir: str) -> pa.Table:
+    idx = index_for(sf_dir)
+    return pads.dataset(os.path.join(idx, "dictionary")).to_table(
+        columns=["term", "df", "cf"]
+    )
+
+
+def q_corpus_stats(sf_dir: str) -> pa.Table:
+    eng = engine_for(sf_dir)
+    m = eng.reader.meta
+    return pa.table(
+        {
+            "n_docs": pa.array([m["n_docs"]], pa.int64()),
+            "total_len": pa.array([m["total_len"]], pa.int64()),
+            "avgdl": pa.array(round_half_up([m["avgdl"]], 6), pa.float64()),
+            "n_terms": pa.array([m["n_terms"]], pa.int64()),
+        }
+    )
+
+
+def q_top_terms(sf_dir: str) -> pa.Table:
+    t = q_build_term_stats(sf_dir)
+    df = t["df"].to_numpy()
+    terms = t["term"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((terms, -df))[:20]
+    return t.take(pa.array(order, pa.int64()))
+
+
+def q_postings_sample(sf_dir: str) -> pa.Table:
+    eng = engine_for(sf_dir)
+    dm = eng.reader.docmap()
+    out = {"term": [], "conv_id": [], "turn_idx": [], "tf": []}
+    for term in ("spark", "merge", "window", "dup"):
+        p = eng.reader.postings(term)
+        if p is None:
+            continue
+        ids, tfs, _ = p
+        pos = np.searchsorted(dm["doc_id"], ids)
+        out["term"].extend([term] * len(ids))
+        out["conv_id"].extend(dm["conv_id"][pos])
+        out["turn_idx"].extend(dm["turn_idx"][pos].tolist())
+        out["tf"].extend(tfs.tolist())
+    return pa.table(
+        {
+            "term": pa.array(out["term"], pa.string()),
+            "conv_id": pa.array(out["conv_id"], pa.string()),
+            "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+            "tf": pa.array(out["tf"], pa.int64()),
+        }
+    )
+
+
+def _q_search(sf_dir: str, profile: str, role: str | None = None) -> pa.Table:
+    eng = engine_for(sf_dir, profile=profile)
+    return _round_score(eng.search(SEARCH_QUERY_TEXT, k=10, role=role))
+
+
+def q_bm25_topk(sf_dir: str) -> pa.Table:
+    return _q_search(sf_dir, "simple_bm25")
+
+
+def q_inner_topk(sf_dir: str) -> pa.Table:
+    return _q_search(sf_dir, "simple_inner")
+
+
+def q_blend_topk(sf_dir: str) -> pa.Table:
+    return _q_search(sf_dir, "simple")
+
+
+def q_role_filter_search(sf_dir: str) -> pa.Table:
+    return _q_search(sf_dir, "simple", role="user")
+
+
+def q_tfidf_doc_weights(sf_dir: str) -> pa.Table:
+    eng = engine_for(sf_dir)
+    idx = index_for(sf_dir)
+    w = pads.dataset(os.path.join(idx, "doc_weights")).to_table()
+    dm = eng.reader.docmap()
+    ids = w["doc_id"].to_numpy()
+    pos = np.searchsorted(dm["doc_id"], ids)
+    return pa.table(
+        {
+            "conv_id": pa.array(dm["conv_id"][pos], pa.string()),
+            "turn_idx": pa.array(dm["turn_idx"][pos].astype(np.int32), pa.int32()),
+            "doc_weight_sq": w["doc_weight_sq"],
+        }
+    )
+
+
+SEARCH_CORE_QUERIES = {
+    "build_doc_stats": q_build_doc_stats,
+    "build_term_stats": q_build_term_stats,
+    "corpus_stats": q_corpus_stats,
+    "top_terms": q_top_terms,
+    "postings_sample": q_postings_sample,
+    "bm25_topk": q_bm25_topk,
+    "inner_topk": q_inner_topk,
+    "blend_topk": q_blend_topk,
+    "role_filter_search": q_role_filter_search,
+    "tfidf_doc_weights": q_tfidf_doc_weights,
+}

@@ -69,16 +69,22 @@ class QueryEngine:
         return resolved
 
     # ------------------------------------------------------------------
-    def search(self, query: str, k: int | None = None, method: str = "exact") -> pa.Table:
-        """→ pa.Table (conv_id, turn_idx:int32, score:float64), ranked."""
+    def search(self, query: str, k: int | None = None, method: str = "exact",
+               role: str | None = None) -> pa.Table:
+        """→ pa.Table (conv_id, turn_idx:int32, score:float64), ranked.
+
+        ``role`` restricts candidates to turns with that role (a metadata
+        filter the reference has no analogue for; scores are per-doc so
+        filtering commutes with scoring).
+        """
         q = self.parse_query(query)
         if not q:
             return _empty_result()
-        if method == "wand" and k is not None:
+        if method == "wand" and k is not None and role is None:
             ids, scores = self._score_wand(q, k)
         else:
             ids, scores = self._score_exact(q)
-        return self._rank(ids, scores, k)
+        return self._rank(ids, scores, k, role=role)
 
     # ------------------------------------------------------------------
     def _term_scores(self, term: str, q_tf: int, ids, tfs, lens):
@@ -158,6 +164,7 @@ class QueryEngine:
         cand = np.empty(0, np.int64)
         bm25 = np.empty(0)
         inner = np.empty(0)
+        posted: dict[str, tuple] = {}
         closed = False  # True once no new doc can reach the top-k
         for i, t in enumerate(terms_sorted):
             remaining = sum(ubs[t2] for t2 in terms_sorted[i:])
@@ -175,16 +182,19 @@ class QueryEngine:
                     if hi > lo:
                         keep.add(int(m["chunk_idx"][j]))
                 if not keep:
+                    posted[t] = None
                     continue
                 ids, tfs, lens = self.reader.postings(t, chunk_ids=keep)
                 pos = np.searchsorted(cand, ids)
                 pos_ok = np.clip(pos, 0, len(cand) - 1)
                 hit = cand[pos_ok] == ids
+                posted[t] = (ids[hit], tfs[hit], lens[hit])
                 b, inn = self._term_scores(t, q[t], ids[hit], tfs[hit], lens[hit])
                 bm25[pos_ok[hit]] += b
                 inner[pos_ok[hit]] += inn
             else:
                 ids, tfs, lens = self.reader.postings(t)
+                posted[t] = (ids, tfs, lens)
                 merged = np.unique(np.concatenate([cand, ids]))
                 nb = np.zeros(len(merged))
                 ni = np.zeros(len(merged))
@@ -196,12 +206,30 @@ class QueryEngine:
                 nb[pos] += b
                 ni[pos] += inn
                 cand, bm25, inner = merged, nb, ni
+
+        # Final pass: re-accumulate in the exact path's term order (dict
+        # insertion order of ``q``) so float summation order — and hence
+        # every score bit — matches ``_score_exact`` for the survivors.
+        bm25 = np.zeros(len(cand))
+        inner = np.zeros(len(cand))
+        for t, q_tf in q.items():
+            if posted.get(t) is None:
+                continue
+            ids, tfs, lens = posted[t]
+            pos = np.searchsorted(cand, ids)
+            b, inn = self._term_scores(t, q_tf, ids, tfs, lens)
+            bm25[pos] += b
+            inner[pos] += inn
         return cand, p.w_bm25 * bm25 + p.w_inner * inner
 
     # ------------------------------------------------------------------
-    def _rank(self, ids: np.ndarray, scores: np.ndarray, k: int | None) -> pa.Table:
+    def _rank(self, ids: np.ndarray, scores: np.ndarray, k: int | None,
+              role: str | None = None) -> pa.Table:
         dm = self.reader.docmap()
         pos = np.searchsorted(dm["doc_id"], ids)
+        if role is not None:
+            keep = dm["role"][pos] == role
+            ids, scores, pos = ids[keep], scores[keep], pos[keep]
         conv = dm["conv_id"][pos]
         turn = dm["turn_idx"][pos]
         rounded = round_half_up(scores, RANK_DECIMALS)

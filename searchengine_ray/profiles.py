@@ -31,10 +31,16 @@ class Profile:
 
 
 SIMPLE = Profile(name="simple", tokenizer="simple")
+SIMPLE_BM25 = Profile(name="simple_bm25", tokenizer="simple", w_bm25=1.0, w_inner=0.0)
+SIMPLE_INNER = Profile(name="simple_inner", tokenizer="simple", w_bm25=0.0, w_inner=1.0)
+# Part A blend (reference Part A/ranker.py:26): 0.5·cosine + 0.5·inner
+SIMPLE_PART_A = Profile(
+    name="simple_part_a", tokenizer="simple", w_bm25=0.0, w_inner=0.5, w_cosine=0.5
+)
 REFERENCE = Profile(
     name="reference", tokenizer="reference", case_folding=True, entity_rule=True
 )
-PROFILES = {p.name: p for p in (SIMPLE, REFERENCE)}
+PROFILES = {p.name: p for p in (SIMPLE, SIMPLE_BM25, SIMPLE_INNER, SIMPLE_PART_A, REFERENCE)}
 
 
 def get_profile(name_or_profile) -> Profile:

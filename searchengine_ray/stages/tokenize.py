@@ -9,7 +9,7 @@ tables are built once per actor (``__init__``), not once per batch.
 Output schema (one row per non-empty turn):
     conv_id:str, turn_idx:int32, role:str, tool:str,
     doc_id:int64 (internal, 63-bit hash of the composite key),
-    doc_len:int64 (Σtf, reference parser_module.py:275),
+    doc_len:int64 (Σtf, reference parser_module.py:275), n_terms:int64,
     max_tf:int64, n_singleton:int64, n_curses:int64
     (reference indexer.py:37-48),
     terms:list<string>, tfs:list<int64>, is_entity:list<bool>.
@@ -35,6 +35,7 @@ TOKENIZED_SCHEMA = pa.schema(
         ("tool", pa.string()),
         ("doc_id", pa.int64()),
         ("doc_len", pa.int64()),
+        ("n_terms", pa.int64()),
         ("max_tf", pa.int64()),
         ("n_singleton", pa.int64()),
         ("n_curses", pa.int64()),
@@ -104,6 +105,7 @@ class TokenizeStage:
         counts = np.diff(np.append(starts, len(rows)))
 
         doc_len = np.add.reduceat(tfs, starts)
+        n_terms = counts.astype(np.int64)
         max_tf = np.maximum.reduceat(tfs, starts)
         n_singleton = np.add.reduceat((tfs == 1).astype(np.int64), starts)
         n_curses = np.add.reduceat((terms == "*CENSORED*").astype(np.int64), starts)
@@ -126,6 +128,7 @@ class TokenizeStage:
                     type=pa.int64(),
                 ),
                 "doc_len": pa.array(doc_len, type=pa.int64()),
+                "n_terms": pa.array(n_terms, type=pa.int64()),
                 "max_tf": pa.array(max_tf, type=pa.int64()),
                 "n_singleton": pa.array(n_singleton, type=pa.int64()),
                 "n_curses": pa.array(n_curses, type=pa.int64()),

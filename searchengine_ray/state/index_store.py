@@ -103,7 +103,8 @@ class IndexReader:
         """doc_id-sorted arrays: (doc_id, conv_id, turn_idx, doc_len, max_tf, n_curses)."""
         if self._docmap is None:
             t = pads.dataset(os.path.join(self.index_dir, "docstats")).to_table(
-                columns=["doc_id", "conv_id", "turn_idx", "doc_len", "max_tf", "n_curses"]
+                columns=["doc_id", "conv_id", "turn_idx", "role", "tool",
+                         "doc_len", "max_tf", "n_curses"]
             )
             ids = t["doc_id"].to_numpy()
             order = np.argsort(ids)
@@ -111,6 +112,8 @@ class IndexReader:
                 "doc_id": ids[order],
                 "conv_id": t["conv_id"].to_numpy(zero_copy_only=False)[order],
                 "turn_idx": t["turn_idx"].to_numpy()[order],
+                "role": t["role"].to_numpy(zero_copy_only=False)[order],
+                "tool": t["tool"].to_numpy(zero_copy_only=False)[order],
                 "doc_len": t["doc_len"].to_numpy()[order],
                 "max_tf": t["max_tf"].to_numpy()[order],
                 "n_curses": t["n_curses"].to_numpy()[order],

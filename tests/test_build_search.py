@@ -1,0 +1,122 @@
+"""Build + search invariants on the synthetic transcript corpus."""
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from searchengine_ray.functions.tokenize import simple_tokenize_flat
+from searchengine_ray.pipelines.build import build_index, compute_doc_weights
+from searchengine_ray.pipelines.search import QueryEngine
+from searchengine_ray.sources.transcripts import synth_transcripts, write_synth_transcripts
+
+QUERIES = ["index shard merge", "token score rank actor", "cluster memory spill"]
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    root = tmp_path_factory.mktemp("idx")
+    src = str(root / "corpus")
+    idx = str(root / "index")
+    write_synth_transcripts(src, n_files=3, n_convs=25, turns_per_conv=8, seed=3)
+    stats = build_index(src, idx, profile="simple")
+    compute_doc_weights(idx)
+    return src, idx, stats
+
+
+def test_per_turn_invariant(built):
+    """Every non-empty turn of the input is indexed exactly once under its
+    (conv_id, turn_idx) key (per-turn text invariant of BASELINE.json)."""
+    src, idx, stats = built
+    inp = pads.dataset(src).to_table(columns=["conv_id", "turn_idx", "text"])
+    parent, _ = simple_tokenize_flat(inp["text"])
+    nonempty = sorted(
+        {
+            (inp["conv_id"][int(i)].as_py(), inp["turn_idx"][int(i)].as_py())
+            for i in set(parent.tolist())
+        }
+    )
+    ds = pads.dataset(f"{idx}/docstats").to_table(columns=["conv_id", "turn_idx"])
+    indexed = sorted(zip(ds["conv_id"].to_pylist(), ds["turn_idx"].to_pylist()))
+    assert indexed == nonempty
+    assert stats["n_docs"] == len(nonempty)
+
+
+def test_df_cf_consistency(built):
+    src, idx, stats = built
+    d = pads.dataset(f"{idx}/dictionary").to_table()
+    assert stats["n_terms"] == d.num_rows
+    assert stats["n_postings"] == sum(d["df"].to_pylist())
+    assert all(df <= stats["n_docs"] for df in d["df"].to_pylist())
+    assert all(cf >= df for df, cf in zip(d["df"].to_pylist(), d["cf"].to_pylist()))
+
+
+def test_wand_equals_exact(built):
+    _, idx, _ = built
+    qe = QueryEngine(idx)
+    for q in QUERIES:
+        for k in (3, 10, 50):
+            assert qe.search(q, k=k).equals(qe.search(q, k=k, method="wand"))
+
+
+def test_default_k_rule(built):
+    """k defaults to round(0.9·n_candidates) — reference ranker.py:38-40."""
+    _, idx, _ = built
+    qe = QueryEngine(idx)
+    allr = qe.search(QUERIES[0], k=10**9)
+    dflt = qe.search(QUERIES[0])
+    assert dflt.num_rows == round(0.9 * allr.num_rows)
+
+
+def test_role_filter(built):
+    _, idx, _ = built
+    qe = QueryEngine(idx)
+    res = qe.search(QUERIES[0], k=10**9, role="assistant")
+    dm = qe.reader.docmap()
+    roles = dict(zip(zip(dm["conv_id"], dm["turn_idx"].tolist()), dm["role"]))
+    assert res.num_rows > 0
+    for c, t in zip(res["conv_id"].to_pylist(), res["turn_idx"].to_pylist()):
+        assert roles[(c, t)] == "assistant"
+
+
+def test_scores_against_bruteforce(built):
+    """Exact path == brute-force recomputation from the raw corpus."""
+    src, idx, _ = built
+    qe = QueryEngine(idx, profile="simple")
+    tbl = pads.dataset(src).to_table(columns=["conv_id", "turn_idx", "text"])
+    parent, flat = simple_tokenize_flat(tbl["text"])
+    docs = {}
+    for p, term in zip(parent.tolist(), flat.to_pylist()):
+        key = (tbl["conv_id"][int(p)].as_py(), tbl["turn_idx"][int(p)].as_py())
+        docs.setdefault(key, {}).setdefault(term, 0)
+        docs[key][term] += 1
+    n = len(docs)
+    avgdl = sum(sum(d.values()) for d in docs.values()) / n
+    dfs = {}
+    for d in docs.values():
+        for t in d:
+            dfs[t] = dfs.get(t, 0) + 1
+
+    query = "index shard merge"
+    expected = {}
+    for key, d in docs.items():
+        dl = sum(d.values())
+        bm25 = inner = 0.0
+        for t in query.split():
+            if t not in d:
+                continue
+            ntf = d[t] / dl
+            bm25 += np.log2(n / dfs[t]) * (ntf * (ntf * 4.0)) / (ntf + 3.0 * (1 - 0.6 + 0.6 * dl / avgdl))
+            inner += ntf * np.log10(n / dfs[t])
+        if bm25 or inner:
+            expected[key] = 0.9 * bm25 + 0.1 * inner
+
+    res = qe.search(query, k=10**9)
+    got = {
+        (c, t): s
+        for c, t, s in zip(
+            res["conv_id"].to_pylist(), res["turn_idx"].to_pylist(), res["score"].to_pylist()
+        )
+    }
+    assert set(got) == set(expected)
+    for key in expected:
+        assert abs(got[key] - expected[key]) < 1e-9

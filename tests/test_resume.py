@@ -1,0 +1,50 @@
+"""Checkpoint/resume: a rebuild skips finished partitions; invalidating
+one partition rebuilds only that partition and downstream stages, and
+the final index is semantically identical."""
+
+import json
+import os
+
+import pyarrow.dataset as pads
+
+from searchengine_ray.pipelines.build import build_index
+from searchengine_ray.sources.transcripts import write_synth_transcripts
+
+
+def _dictionary(idx):
+    t = pads.dataset(f"{idx}/dictionary").to_table()
+    return sorted(zip(t["term"].to_pylist(), t["df"].to_pylist(), t["cf"].to_pylist()))
+
+
+def test_resume_skips_and_rebuilds(tmp_path):
+    src, idx = str(tmp_path / "corpus"), str(tmp_path / "index")
+    write_synth_transcripts(src, n_files=4, n_convs=20, turns_per_conv=6, seed=5)
+
+    stats1 = build_index(src, idx, profile="simple")
+    dict1 = _dictionary(idx)
+    mtimes1 = {f: os.path.getmtime(f"{idx}/tokenized/{f}") for f in os.listdir(f"{idx}/tokenized")}
+
+    # full resume: nothing recomputed
+    stats2 = build_index(src, idx, profile="simple")
+    mtimes2 = {f: os.path.getmtime(f"{idx}/tokenized/{f}") for f in os.listdir(f"{idx}/tokenized")}
+    assert stats1 == stats2
+    assert mtimes1 == mtimes2
+
+    # drop one partition record → only that partition re-tokenized
+    man_path = f"{idx}/build_manifest.json"
+    man = json.load(open(man_path))
+    assert "p00001" in man["partitions"]
+    del man["partitions"]["p00001"]
+    json.dump(man, open(man_path, "w"))
+    stats3 = build_index(src, idx, profile="simple")
+    mtimes3 = {f: os.path.getmtime(f"{idx}/tokenized/{f}") for f in os.listdir(f"{idx}/tokenized")}
+    rebuilt = [f for f in mtimes2 if mtimes3[f] != mtimes2[f]]
+    assert rebuilt == ["p00001.parquet"]
+    assert stats3 == stats1
+    assert _dictionary(idx) == dict1
+
+    # manifest carries lineage + metrics per partition
+    man = json.load(open(man_path))
+    rec = man["partitions"]["p00001"]
+    assert rec["lineage"]["path"].endswith("part-00001.parquet")
+    assert rec["metrics"]["rows_in"] > 0 and rec["metrics"]["docs_out"] > 0
