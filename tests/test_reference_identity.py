@@ -1,0 +1,125 @@
+"""Rank-identity conformance: the distributed Ray build + search with the
+reference profile must match the vendored sequential mini-reference
+engine (dict-based, order-dependent case migration) on the synthetic
+transcript corpus — same dictionary, same postings, same doc weights,
+and rank-identical search results with scores equal to ≤1e-9
+(SURVEY §5 rebuild test plan)."""
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from searchengine_ray.pipelines.build import build_index, compute_doc_weights
+from searchengine_ray.pipelines.search import QueryEngine
+from searchengine_ray.oracle.mini_reference import MiniReferenceEngine
+from searchengine_ray.sources.transcripts import synth_transcripts, write_synth_transcripts
+
+QUERIES = [
+    "corona virus spread",
+    "Donald Trump New York",
+    "#StayHome today people",
+    "35 Thousand cases reported",
+    "index merge query shard",
+    "covid-19 vaccine data",
+    "batch stream actor cluster",
+    "Ray Data Apache Arrow",
+    "12% growth Jun 2020",
+    "token score rank worker memory",
+]
+
+
+@pytest.fixture(scope="module")
+def engines(tmp_path_factory):
+    root = tmp_path_factory.mktemp("refid")
+    src = str(root / "corpus")
+    idx = str(root / "index")
+    write_synth_transcripts(src, n_files=3, n_convs=40, turns_per_conv=6, seed=13)
+    build_index(src, idx, profile="reference")
+    compute_doc_weights(idx)
+    qe = QueryEngine(idx, profile="reference")
+
+    tbl = synth_transcripts(n_convs=40, turns_per_conv=6, seed=13)
+    mini = MiniReferenceEngine()
+    mini.build(
+        list(
+            zip(
+                tbl["conv_id"].to_pylist(),
+                tbl["turn_idx"].to_pylist(),
+                tbl["text"].to_pylist(),
+            )
+        )
+    )
+    return qe, mini, idx
+
+
+def test_corpus_stats_identical(engines):
+    qe, mini, _ = engines
+    assert qe.reader.n_docs == mini.n_docs
+    assert qe.reader.meta["total_len"] == mini.total_len
+    assert abs(qe.reader.avgdl - mini.total_len / mini.n_docs) < 1e-12
+
+
+def test_dictionary_identical(engines):
+    qe, mini, idx = engines
+    d = pads.dataset(f"{idx}/dictionary").to_table()
+    ray_dict = {
+        t: (df, cf)
+        for t, df, cf in zip(
+            d["term"].to_pylist(), d["df"].to_pylist(), d["cf"].to_pylist()
+        )
+    }
+    mini_dict = {t: (e["df"], e["cf"]) for t, e in mini.inverted.items()}
+    assert set(ray_dict) == set(mini_dict), (
+        set(ray_dict) - set(mini_dict),
+        set(mini_dict) - set(ray_dict),
+    )
+    for t in mini_dict:
+        assert ray_dict[t] == mini_dict[t], t
+
+
+def test_postings_identical(engines):
+    qe, mini, _ = engines
+    dm = qe.reader.docmap()
+    for term in sorted(mini.inverted):
+        ids, tfs, lens = qe.reader.postings(term)
+        pos = np.searchsorted(dm["doc_id"], ids)
+        got = {
+            (dm["conv_id"][p], int(dm["turn_idx"][p])): (int(tf), int(dl))
+            for p, tf, dl in zip(pos, tfs, lens)
+        }
+        assert got == mini.inverted[term]["postings"], term
+
+
+def test_doc_weights_identical(engines):
+    qe, mini, _ = engines
+    w_ids, w_sq = qe.reader.doc_weights()
+    dm = qe.reader.docmap()
+    pos = np.searchsorted(dm["doc_id"], w_ids)
+    got = {
+        (dm["conv_id"][p], int(dm["turn_idx"][p])): w for p, w in zip(pos, w_sq)
+    }
+    for key, d in mini.docs.items():
+        assert abs(got[key] - d["w2"]) < 1.01e-3, key  # both 3dp-rounded
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identity(engines, query):
+    qe, mini, _ = engines
+    res = qe.search(query, k=20)
+    exp = mini.search(query, k=20)
+    got = list(
+        zip(res["conv_id"].to_pylist(), res["turn_idx"].to_pylist(), res["score"].to_pylist())
+    )
+    assert [(c, t) for c, t, _ in got] == [(c, t) for c, t, _ in exp], query
+    for (_, _, sg), (_, _, se) in zip(got, exp):
+        assert abs(sg - se) < 1e-9
+
+
+@pytest.mark.parametrize("query", QUERIES[:3])
+def test_rank_identity_default_k(engines, query):
+    qe, mini, _ = engines
+    res = qe.search(query)
+    exp = mini.search(query)
+    assert res.num_rows == len(exp)
+    got = list(zip(res["conv_id"].to_pylist(), res["turn_idx"].to_pylist()))
+    assert got == [(c, t) for c, t, _ in exp]
