@@ -33,16 +33,24 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from searchengine_ray.pipelines.entry_ops import OPS_QUERIES
     from searchengine_ray.pipelines.entry_queries import SEARCH_CORE_QUERIES
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(SEARCH_CORE_QUERIES)
+    out.update(OPS_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
+    """Non-SQL-expressible ops (minhash_lsh_pairs, simhash_pairs,
+    ann_ivf_topk, fingerprints) intentionally have no entry — the driver
+    records a rows-only check; pytest covers them with planted dups /
+    recall-vs-brute-force assertions."""
     from searchengine_ray.oracle.sql import search_core_sql
+    from searchengine_ray.oracle.sql_ops import ops_sql
 
     out: dict[str, str] = {}
     out.update(search_core_sql())
+    out.update(ops_sql())
     return out

@@ -1,0 +1,138 @@
+"""DuckDB oracle SQL for the training-data-pipeline operators
+(text analysis, dedup, similarity search, multimodal metadata).
+
+Exact twins of the Ray pipelines in pipelines/analysis.py, dedup.py,
+ann.py and stages/multimodal.py — same tokenization, same closed-form
+scores, same explicit rounding, same thresholds.  Operators whose
+semantics are not SQL-expressible (minhash-LSH, simhash, IVF,
+fingerprints) intentionally have no entry here; the driver records a
+rows-only check and pytest covers them against planted ground truth.
+"""
+
+from __future__ import annotations
+
+from ..functions.rounding import sql_round_half_up
+from ..functions.tokenize import STOPWORDS_SIMPLE
+from ..pipelines.analysis import CJK_RE, LANG_MARKERS
+
+_STOP = ", ".join(f"'{w}'" for w in STOPWORDS_SIMPLE)
+_SPLIT = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
+_WORDS = f"list_filter({_SPLIT}, x -> len(x) >= 1)"
+
+
+def _marker_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+
+
+def ops_sql() -> dict[str, str]:
+    r4 = sql_round_half_up
+    quality_raw = (
+        "0.5 * least(1.0, n_tokens / 50.0) "
+        "+ 0.3 * (1 - CASE WHEN n_tokens > 0 THEN stop_hits::DOUBLE / greatest(n_tokens, 1) ELSE 0 END) "
+        "+ 0.2 * (1 - CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / greatest(n_chars, 1) ELSE 0 END)"
+    )
+    return {
+        # ---- text analysis ---------------------------------------------
+        "token_count_by_source": f"""
+            WITH t AS (
+                SELECT doc_id, source, n_chars, len({_WORDS})::BIGINT AS n_tokens
+                FROM documents)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS total_tokens,
+                   sum(n_chars)::BIGINT AS total_chars
+            FROM t GROUP BY source
+        """,
+        "quality_scores": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       len({_WORDS})::BIGINT AS n_tokens,
+                       len(list_filter({_SPLIT}, x -> x IN ({_STOP})))::BIGINT AS stop_hits,
+                       length(text)::BIGINT AS n_chars,
+                       length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::BIGINT AS n_punct
+                FROM documents)
+            SELECT doc_id, n_tokens,
+                   {r4("CASE WHEN n_tokens > 0 THEN stop_hits::DOUBLE / greatest(n_tokens, 1) ELSE 0 END", 4)} AS stop_ratio,
+                   {r4("CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / greatest(n_chars, 1) ELSE 0 END", 4)} AS punct_ratio,
+                   {r4(quality_raw, 4)} AS quality
+            FROM t
+        """,
+        "lang_id": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter({_SPLIT}, x -> x IN ({_marker_list('en')})))::BIGINT AS en_hits,
+                       len(list_filter({_SPLIT}, x -> x IN ({_marker_list('es')})))::BIGINT AS es_hits,
+                       len(list_filter({_SPLIT}, x -> x IN ({_marker_list('de')})))::BIGINT AS de_hits,
+                       len(list_filter({_SPLIT}, x -> x IN ({_marker_list('fr')})))::BIGINT AS fr_hits,
+                       regexp_matches(text, '{CJK_RE}') AS has_cjk
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN has_cjk THEN 'zh'
+                        WHEN en_hits >= greatest(es_hits, de_hits, fr_hits, 1) THEN 'en'
+                        WHEN es_hits >= greatest(de_hits, fr_hits, 1) THEN 'es'
+                        WHEN de_hits >= greatest(fr_hits, 1) THEN 'de'
+                        WHEN fr_hits >= 1 THEN 'fr'
+                        ELSE 'und' END AS pred_lang,
+                   en_hits, es_hits, de_hits, fr_hits, has_cjk
+            FROM t
+        """,
+        # ---- dedup ------------------------------------------------------
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_doc_id,
+                   count(*)::BIGINT AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            idx AS (
+                SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS i
+                FROM words),
+            g AS (
+                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
+                FROM idx),
+            sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM g GROUP BY doc_id),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS inter
+                FROM g a JOIN g b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   {r4("inter / (sa.n + sb.n - inter)", 4)} AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = pairs.doc_a
+            JOIN sizes sb ON sb.doc_id = pairs.doc_b
+            WHERE inter / (sa.n + sb.n - inter) >= 0.8
+        """,
+        # ---- similarity search -----------------------------------------
+        "ann_cosine_topk": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 5)
+            SELECT query_id, vec_id,
+                   {r4("list_cosine_similarity(qe, CAST(embedding AS DOUBLE[]))", 4)} AS cos
+            FROM q, embeddings
+            WHERE vec_id != query_id
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY floor(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) * 1000000 + 0.5) DESC,
+                         vec_id) <= 10
+        """,
+        "embedding_dup_pairs": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings WHERE vec_id < 300)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {r4("list_cosine_similarity(a.emb, b.emb)", 4)} AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+        """,
+        # ---- multimodal -------------------------------------------------
+        "multimodal_meta": """
+            WITH m AS (
+                SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+                       md5(text) AS payload_md5
+                FROM documents)
+            SELECT doc_id, n_bytes, payload_md5,
+                   (n_bytes % 640 + 1)::BIGINT AS width,
+                   ((n_bytes * 7) % 480 + 1)::BIGINT AS height
+            FROM m
+        """,
+    }

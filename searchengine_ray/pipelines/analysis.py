@@ -1,0 +1,207 @@
+"""Text-analysis pipelines over the ``documents`` table — the
+training-data-pipeline operators (language-ID, quality scoring, token
+counting, fingerprinting) that complement the reference's IR stack.
+
+All stages are vectorized ``map_batches`` transforms over Arrow batches;
+aggregations pre-aggregate per batch before any groupby shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.rounding import round_half_up
+from ..functions.tokenize import STOPWORDS_SIMPLE
+
+# Marker words per language for the n-gram/function-word heuristic.
+# Disjoint lists so the argmax (priority order on ties) is well-defined.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("que", "los", "las", "una", "por"),
+    "de": ("und", "der", "nicht", "ist", "ein"),
+    "fr": ("les", "une", "est", "dans", "pour"),
+}
+LANG_PRIORITY = ("en", "es", "de", "fr")
+CJK_RE = r"[一-鿿]"
+
+_SPLIT_RE = "[^a-z0-9]+"
+
+
+def _split_tokens(texts: pa.Array):
+    lowered = pc.utf8_lower(texts)
+    toks = pc.split_pattern_regex(lowered, _SPLIT_RE)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy()
+    keep = pc.greater_equal(pc.utf8_length(flat), 1).to_numpy(zero_copy_only=False)
+    return parent[keep], pc.filter(flat, pa.array(keep))
+
+
+def _per_row_hits(parent, flat, n_rows, wordset) -> np.ndarray:
+    hits = pc.is_in(flat, value_set=pa.array(list(wordset), pa.string()))
+    out = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(out, parent, hits.to_numpy(zero_copy_only=False).astype(np.int64))
+    return out
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc raw token count + stopword hits (quality inputs)."""
+    texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+    parent, flat = _split_tokens(texts)
+    n = batch.num_rows
+    n_tokens = np.zeros(n, dtype=np.int64)
+    np.add.at(n_tokens, parent, 1)
+    stop_hits = _per_row_hits(parent, flat, n, STOPWORDS_SIMPLE)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "n_chars": batch["n_chars"],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "stop_hits": pa.array(stop_hits, pa.int64()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality scoring: length/punct/stopword ratios → [0,1] score.
+
+    score = 0.5·min(1, n_tokens/50) + 0.3·(1−stop_ratio) + 0.2·(1−punct_ratio)
+    (same closed form as the DuckDB oracle, rounded half-up to 4dp).
+    """
+    texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+    parent, flat = _split_tokens(texts)
+    n = batch.num_rows
+    n_tokens_i = np.zeros(n, dtype=np.int64)
+    np.add.at(n_tokens_i, parent, 1)
+    stop_hits = _per_row_hits(parent, flat, n, STOPWORDS_SIMPLE).astype(np.float64)
+    n_chars = pc.utf8_length(texts).to_numpy().astype(np.float64)
+    stripped = pc.replace_substring_regex(pc.utf8_lower(texts), "[a-z0-9 ]", "")
+    n_punct = pc.utf8_length(stripped).to_numpy().astype(np.float64)
+    n_tokens = n_tokens_i.astype(np.float64)
+    stop_ratio = np.where(n_tokens > 0, stop_hits / np.maximum(n_tokens, 1), 0.0)
+    punct_ratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)
+    score = (
+        0.5 * np.minimum(1.0, n_tokens / 50.0)
+        + 0.3 * (1.0 - stop_ratio)
+        + 0.2 * (1.0 - punct_ratio)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens_i, pa.int64()),
+            "stop_ratio": pa.array(round_half_up(stop_ratio, 4)),
+            "punct_ratio": pa.array(round_half_up(punct_ratio, 4)),
+            "quality": pa.array(round_half_up(score, 4)),
+        }
+    )
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Language-ID heuristic: function-word hits per language + CJK char
+    detection; argmax with fixed priority order, 'und' when nothing hits."""
+    texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+    parent, flat = _split_tokens(texts)
+    n = batch.num_rows
+    hits = {
+        lang: _per_row_hits(parent, flat, n, words)
+        for lang, words in LANG_MARKERS.items()
+    }
+    has_cjk = pc.match_substring_regex(texts, CJK_RE).to_numpy(zero_copy_only=False)
+    best = np.full(n, "und", dtype=object)
+    best_hits = np.zeros(n, dtype=np.int64)
+    for lang in reversed(LANG_PRIORITY):  # earlier priority wins ties via >=
+        h = hits[lang]
+        take = h >= np.maximum(best_hits, 1)
+        best[take] = lang
+        best_hits = np.maximum(best_hits, h)
+    best[has_cjk] = "zh"
+    cols = {"doc_id": batch["doc_id"], "pred_lang": pa.array(best, pa.string())}
+    for lang in LANG_PRIORITY:
+        cols[f"{lang}_hits"] = pa.array(hits[lang], pa.int64())
+    cols["has_cjk"] = pa.array(has_cjk, pa.bool_())
+    return pa.table(cols)
+
+
+class FingerprintStage:
+    """Document fingerprinting: Rabin-Karp rolling hash over the utf8
+    bytes; fingerprint = min hash over all 16-byte windows (winnowing's
+    document-level reduction).  Stateful (precomputed power table) —
+    one instance per actor."""
+
+    WINDOW = 16
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    def __init__(self):
+        self.pow_w = pow(self.BASE, self.WINDOW, self.MOD)
+
+    def _fingerprint(self, data: bytes) -> int:
+        if not data:
+            return 0
+        if len(data) <= self.WINDOW:
+            h = 0
+            for b in data:
+                h = (h * self.BASE + b) % self.MOD
+            return h
+        h = 0
+        for b in data[: self.WINDOW]:
+            h = (h * self.BASE + b) % self.MOD
+        best = h
+        for i in range(self.WINDOW, len(data)):
+            h = (h * self.BASE + data[i] - self.pow_w * data[i - self.WINDOW]) % self.MOD
+            if h < best:
+                best = h
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self._fingerprint(t.encode("utf-8")) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(fps, pa.int64() if max(fps, default=0) < 2**63 else pa.uint64()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level pipelines
+# ---------------------------------------------------------------------------
+
+def token_count_by_source(sf_dir: str):
+    """Per-source token totals: partial per-batch agg → tiny groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum, Count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text", "n_chars"])
+    per_doc = ds.map_batches(token_stats_batch, batch_format="pyarrow")
+    return (
+        per_doc.groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="total_tokens"),
+            Sum("n_chars", alias_name="total_chars"),
+        )
+    )
+
+
+def quality_scores(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text", "n_chars"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+def lang_id(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(FingerprintStage, batch_format="pyarrow", concurrency=(1, 4))

@@ -1,0 +1,220 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``brute_force_topk``: the exact baseline — the query matrix is
+  broadcast once via ``ray.put`` and every batch does one float64 matmul
+  against it; per-batch local top-k rows are reduced to the global top-k
+  (small: n_queries × k).
+- ``embedding_dup_pairs``: embedding-cosine near-duplicate detection over
+  a bounded id range (the all-pairs verify step of an embedding dedup).
+- ``ivf_topk``: the scale path — k-means-lite coarse quantizer (seeded,
+  built on a driver-side sample), cluster assignment per batch, then
+  search only the ``nprobe`` closest clusters per query.  Approximate;
+  tests check recall against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.rounding import round_half_up
+
+
+def _matrix(batch: pa.Table) -> np.ndarray:
+    col = batch["embedding"]
+    flat = col.combine_chunks().flatten() if isinstance(col, pa.ChunkedArray) else col.flatten()
+    dim = len(col[0])
+    return flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceScorer:
+    """Actor: holds the normalized query matrix (fetched once from the
+    object store), emits batch-local top-k candidate rows."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        qids, qmat = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.qids = qids
+        self.q = _normalize(qmat)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_ids = batch["vec_id"].to_numpy()
+        m = _normalize(_matrix(batch))
+        cos = m @ self.q.T  # [batch, n_queries]
+        out_q, out_v, out_c = [], [], []
+        for j, qid in enumerate(self.qids):
+            c = cos[:, j]
+            mask = vec_ids != qid
+            idx = np.flatnonzero(mask)
+            if len(idx) == 0:
+                continue
+            top = idx[np.argsort(-c[idx], kind="stable")[: self.k]]
+            out_q.append(np.full(len(top), qid, dtype=np.int64))
+            out_v.append(vec_ids[top])
+            out_c.append(c[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cos": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+
+def _final_topk(parts: pa.Table, k: int) -> pa.Table:
+    """Global top-k per query with deterministic ties (rounded cos desc,
+    vec_id asc) — matches the oracle's QUALIFY ordering."""
+    q = parts["query_id"].to_numpy()
+    v = parts["vec_id"].to_numpy()
+    c = parts["cos"].to_numpy()
+    key = np.floor(c * 1e6 + 0.5)
+    order = np.lexsort((v, -key, q))
+    q, v, c, key = q[order], v[order], c[order], key[order]
+    out_idx = []
+    for qid in np.unique(q):
+        idx = np.flatnonzero(q == qid)[:k]
+        out_idx.extend(idx.tolist())
+    out_idx = np.array(out_idx, dtype=np.int64)
+    return pa.table(
+        {
+            "query_id": pa.array(q[out_idx], pa.int64()),
+            "vec_id": pa.array(v[out_idx], pa.int64()),
+            "cos": pa.array(round_half_up(c[out_idx], 4), pa.float64()),
+        }
+    )
+
+
+def load_queries(sf_dir: str, n_queries: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = np.flatnonzero(t["vec_id"].to_numpy() < n_queries)
+    sub = t.take(pa.array(mask, pa.int64()))
+    return sub["vec_id"].to_numpy().astype(np.int64), _matrix(sub)
+
+
+def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
+    import ray
+    import ray.data as rd
+
+    qids, qmat = load_queries(sf_dir, n_queries)
+    ref = ray.put((qids, qmat))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    parts = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    return _final_topk(pa.Table.from_pandas(parts.to_pandas()), k)
+
+
+def embedding_dup_pairs(sf_dir: str, max_id: int = 300, threshold: float = 0.35) -> pa.Table:
+    """Cosine near-dup pairs among vec_id < max_id (exact all-pairs)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    keep = np.flatnonzero(t["vec_id"].to_numpy() < max_id)
+    sub = t.take(pa.array(keep, pa.int64()))
+    ids = sub["vec_id"].to_numpy().astype(np.int64)
+    m = _normalize(_matrix(sub))
+    cos = m @ m.T
+    a, b = np.triu_indices(len(ids), k=1)
+    sel = cos[a, b] >= threshold
+    order = np.lexsort((ids[b[sel]], ids[a[sel]]))
+    return pa.table(
+        {
+            "vec_a": pa.array(ids[a[sel]][order], pa.int64()),
+            "vec_b": pa.array(ids[b[sel]][order], pa.int64()),
+            "cos": pa.array(round_half_up(cos[a[sel], b[sel]][order], 4), pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (coarse-quantized) approximate search
+# ---------------------------------------------------------------------------
+
+def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 99):
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(_normalize(sample) @ _normalize(cent).T, axis=1)
+        for c in range(n_clusters):
+            pts = sample[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(axis=0)
+    return cent
+
+
+def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_clusters: int = 16,
+             nprobe: int = 4) -> pa.Table:
+    """Approximate top-k: search only the nprobe closest centroids'
+    clusters per query.  At 10^12 scale the assignment is a map_batches
+    stage writing cluster-partitioned parquet; here clusters stay in
+    flight."""
+    import ray
+    import ray.data as rd
+
+    qids, qmat = load_queries(sf_dir, n_queries)
+    sample = _matrix(
+        __import__("pyarrow.parquet", fromlist=["pq"]).read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        ).slice(0, 2048)
+    )
+    cent = _kmeans_lite(sample, n_clusters)
+    cent_n = _normalize(cent)
+    probes = {
+        int(qid): set(np.argsort(-(_normalize(qmat[[i]]) @ cent_n.T)[0])[:nprobe].tolist())
+        for i, qid in enumerate(qids)
+    }
+    ref = ray.put((qids, qmat, cent_n, probes))
+
+    class IVFScorer:
+        def __init__(self, ref, k):
+            import ray as _r
+
+            self.qids, qmat, self.cent, self.probes = _r.get(ref)
+            self.q = _normalize(qmat)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = batch["vec_id"].to_numpy()
+            m = _normalize(_matrix(batch))
+            assign = np.argmax(m @ self.cent.T, axis=1)
+            cos = m @ self.q.T
+            out_q, out_v, out_c = [], [], []
+            for j, qid in enumerate(self.qids):
+                mask = (vec_ids != qid) & np.isin(assign, list(self.probes[int(qid)]))
+                idx = np.flatnonzero(mask)
+                if not len(idx):
+                    continue
+                top = idx[np.argsort(-cos[idx, j], kind="stable")[: self.k]]
+                out_q.append(np.full(len(top), qid, dtype=np.int64))
+                out_v.append(vec_ids[top])
+                out_c.append(cos[top, j])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
+            return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                             "vec_id": pa.array(np.concatenate(out_v)),
+                             "cos": pa.array(np.concatenate(out_c))})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    parts = ds.map_batches(IVFScorer, fn_constructor_args=(ref, k),
+                           batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+    return _final_topk(pa.Table.from_pandas(parts.to_pandas()), k)

@@ -1,0 +1,90 @@
+"""Driver-contract callables for the training-data-pipeline operators.
+
+SQL-checked entries match oracle/sql_ops.py exactly; the rest
+(minhash-LSH, simhash, IVF, fingerprints) are rows-only checks with
+pytest coverage against planted ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import analysis
+from . import ann
+from . import dedup
+from ..stages.multimodal import multimodal_meta
+
+
+def _cast_int64(ds, cols):
+    def fix(t: pa.Table) -> pa.Table:
+        for c in cols:
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, pa.compute.cast(t[c], pa.int64()))
+        return t
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
+def q_token_count_by_source(sf_dir: str):
+    return analysis.token_count_by_source(sf_dir)
+
+
+def q_quality_scores(sf_dir: str):
+    return analysis.quality_scores(sf_dir)
+
+
+def q_lang_id(sf_dir: str):
+    return analysis.lang_id(sf_dir)
+
+
+def q_fingerprints(sf_dir: str):
+    return analysis.fingerprints(sf_dir)
+
+
+def q_dedup_exact(sf_dir: str):
+    return _cast_int64(dedup.dedup_exact(sf_dir), ["keep_doc_id"])
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    return dedup.ngram_jaccard_pairs(sf_dir, threshold=0.8)
+
+
+def q_minhash_lsh_pairs(sf_dir: str):
+    return dedup.minhash_lsh_pairs(sf_dir)
+
+
+def q_simhash_pairs(sf_dir: str):
+    return dedup.simhash_pairs(sf_dir)
+
+
+def q_ann_cosine_topk(sf_dir: str):
+    return ann.brute_force_topk(sf_dir, n_queries=5, k=10)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    return ann.ivf_topk(sf_dir, n_queries=5, k=10)
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    return ann.embedding_dup_pairs(sf_dir, max_id=300, threshold=0.35)
+
+
+def q_multimodal_meta(sf_dir: str):
+    return multimodal_meta(sf_dir)
+
+
+OPS_QUERIES = {
+    "token_count_by_source": q_token_count_by_source,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "multimodal_meta": q_multimodal_meta,
+}

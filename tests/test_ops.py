@@ -1,0 +1,148 @@
+"""Dedup / ANN / analysis / multimodal operators against planted ground
+truth (the non-SQL-checkable side of the ops suite)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from searchengine_ray.pipelines import analysis, ann, dedup
+from searchengine_ray.stages.multimodal import DecodeStage, multimodal_meta
+
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+).split()
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """documents-schema parquet with planted exact + near duplicates."""
+    rng = np.random.default_rng(17)
+    texts = []
+    for i in range(40):
+        texts.append(" ".join(rng.choice(BASE, size=30)))
+    texts[2] = texts[1]                       # exact dup pair (1, 2)
+    near = texts[3].split()
+    near[-1] = "changed"                      # ~97% overlapping words (3, 4)
+    texts[4] = " ".join(near)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 40, pa.string()),
+            "source": pa.array([f"s{i % 3}" for i in range(40)], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("planted")
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_dedup_exact_finds_planted(planted_dir):
+    res = dedup.dedup_exact(planted_dir).to_pandas()
+    assert len(res) == 39  # 40 docs, one exact dup collapsed
+    dup = res[res.n_copies > 1]
+    assert len(dup) == 1 and dup.iloc[0].keep_doc_id == 1 and dup.iloc[0].n_copies == 2
+
+
+def test_minhash_finds_planted(planted_dir):
+    res = dedup.minhash_lsh_pairs(planted_dir, threshold=0.5).to_pandas()
+    pairs = set(zip(res.doc_a, res.doc_b))
+    assert (1, 2) in pairs
+    assert (3, 4) in pairs
+    exact = res[(res.doc_a == 1) & (res.doc_b == 2)]
+    assert float(exact.est_jaccard.iloc[0]) == 1.0
+
+
+def test_simhash_finds_exact_dup(planted_dir):
+    res = dedup.simhash_pairs(planted_dir, max_hamming=3).to_pandas()
+    pairs = set(zip(res.doc_a, res.doc_b))
+    assert (1, 2) in pairs
+    assert int(res[(res.doc_a == 1) & (res.doc_b == 2)].hamming.iloc[0]) == 0
+
+
+def test_ngram_jaccard_finds_planted(planted_dir):
+    res = dedup.ngram_jaccard_pairs(planted_dir, threshold=0.5).to_pandas()
+    pairs = set(zip(res.doc_a, res.doc_b))
+    assert (1, 2) in pairs
+    exact = res[(res.doc_a == 1) & (res.doc_b == 2)]
+    assert float(exact.jaccard.iloc[0]) == 1.0
+
+
+def test_fingerprint_deterministic_and_dup_sensitive(planted_dir):
+    a = analysis.fingerprints(planted_dir).to_pandas().set_index("doc_id").fingerprint
+    b = analysis.fingerprints(planted_dir).to_pandas().set_index("doc_id").fingerprint
+    assert (a == b).all()
+    assert a[1] == a[2]  # identical text ⇒ identical fingerprint
+
+
+def test_lang_id_markers():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat and the dog is a pet",
+                    "los gatos que viven por las casas",
+                    "der hund ist nicht hier und da",
+                    "数据 processing 系统",
+                ]
+            ),
+        }
+    )
+    res = analysis.lang_id_batch(batch).to_pandas()
+    assert list(res.pred_lang) == ["en", "es", "de", "zh"]
+
+
+def test_quality_monotonic():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                ["word " * 60, "the the the of of!!??"],
+            ),
+        }
+    )
+    res = analysis.quality_batch(batch).to_pandas()
+    assert res.quality[0] > res.quality[1]
+
+
+def test_ann_brute_force_matches_numpy():
+    res = ann.brute_force_topk("/root/testdata/sf0.001", n_queries=3, k=5).to_pandas()
+    qids, qmat = ann.load_queries("/root/testdata/sf0.001", 3)
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    for i, qid in enumerate(qids):
+        cos = m @ q[i]
+        mask = ids != qid
+        order = np.argsort(-np.floor(cos * 1e6 + 0.5) * 1000 + ids[mask].argsort().argsort()[0] * 0, kind="stable")
+        expect = set(ids[mask][np.argsort(-cos[mask], kind="stable")[:5]].tolist())
+        got = set(res[res.query_id == qid].vec_id.tolist())
+        assert got == expect, qid
+
+
+def test_ann_ivf_recall():
+    bf = ann.brute_force_topk("/root/testdata/sf0.001", n_queries=5, k=10).to_pandas()
+    ivf = ann.ivf_topk("/root/testdata/sf0.001", n_queries=5, k=10, nprobe=8).to_pandas()
+    recalls = []
+    for qid in bf.query_id.unique():
+        b = set(bf[bf.query_id == qid].vec_id)
+        v = set(ivf[ivf.query_id == qid].vec_id)
+        recalls.append(len(b & v) / len(b))
+    assert np.mean(recalls) >= 0.5  # nprobe=8 of 16 clusters on random vectors
+
+
+def test_multimodal_stub(planted_dir):
+    res = multimodal_meta(planted_dir).to_pandas()
+    assert len(res) == 40
+    row = res[res.doc_id == 1].iloc[0]
+    row2 = res[res.doc_id == 2].iloc[0]
+    assert row.payload_md5 == row2.payload_md5  # identical payloads
+    assert row.width == row.n_bytes % 640 + 1
+    with pytest.raises(NotImplementedError):
+        DecodeStage("real")(pa.table({"doc_id": pa.array([1]), "payload": pa.array([b"x"], pa.large_binary())}))
