@@ -87,9 +87,39 @@ LIMIT {k}
     )
 
 
+_DW = f"""
+dw AS (
+    SELECT tf.conv_id, tf.turn_idx,
+           floor(sum(pow({_INNER_TERM}, 2)) * 1000 + 0.5) / 1000 AS w2
+    FROM tf
+    JOIN df d ON d.term = tf.term
+    JOIN docstats ds ON ds.conv_id = tf.conv_id AND ds.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY tf.conv_id, tf.turn_idx
+)
+"""
+
+# Part A blend (Part A/ranker.py:26): 0.5·cosine + 0.5·inner; cosine =
+# inner / sqrt(Σw²_doc · Σq_tf²) with Σq_tf² = 4 for the 4-term query.
+_PART_A_SCORE = (
+    "0.5 * (CASE WHEN w.w2 > 0 THEN c.inner_p / sqrt(w.w2 * 4.0) ELSE 0 END)"
+    " + 0.5 * c.inner_p"
+)
+
+
 def search_core_sql() -> dict[str, str]:
     blend = "0.9 * c.bm25 + 0.1 * c.inner_p"
+    part_a = (
+        SEARCH_PREFIX + ", " + _CAND + ", " + _DW
+        + f"""
+SELECT c.conv_id, c.turn_idx, {sql_round_half_up(_PART_A_SCORE, 4)} AS score
+FROM cand c JOIN dw w ON w.conv_id = c.conv_id AND w.turn_idx = c.turn_idx
+ORDER BY floor(({_PART_A_SCORE}) * 1000000 + 0.5) DESC, c.conv_id, c.turn_idx
+LIMIT 10
+"""
+    )
     return {
+        "part_a_blend_topk": part_a,
         "build_doc_stats": SEARCH_PREFIX
         + "SELECT conv_id, turn_idx, doc_len, n_terms, max_tf, n_singleton FROM docstats",
         "build_term_stats": SEARCH_PREFIX + "SELECT term, df, cf FROM df",

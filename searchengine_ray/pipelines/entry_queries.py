@@ -137,6 +137,32 @@ def q_role_filter_search(sf_dir: str) -> pa.Table:
     return _q_search(sf_dir, "simple", role="user")
 
 
+def q_part_a_blend_topk(sf_dir: str) -> pa.Table:
+    """Part A scoring profile: 0.5·cosine + 0.5·inner (Part A/ranker.py:26)."""
+    return _q_search(sf_dir, "simple_part_a")
+
+
+def q_expanded_search(sf_dir: str) -> pa.Table:
+    """Synonym-expanded blend search (Q15/Q16 semantics; rows-only check)."""
+    from .expand import SynonymExpansion
+
+    eng = engine_for(sf_dir)
+    exp = SynonymExpansion({"spark": ["stream"], "table": ["row"]})
+    return _round_score(eng.search(SEARCH_QUERY_TEXT, k=10, expander=exp))
+
+
+def q_rerank_search(sf_dir: str) -> pa.Table:
+    """Embedding rerank of the blend top-k (Q12 semantics; rows-only)."""
+    from .expand import compute_doc_vectors, rerank_by_embedding
+
+    eng = engine_for(sf_dir)
+    idx = index_for(sf_dir)
+    if not os.path.exists(os.path.join(idx, "doc_vectors")):
+        compute_doc_vectors(idx)
+    res = eng.search(SEARCH_QUERY_TEXT, k=20)
+    return _round_score(rerank_by_embedding(eng, res, SEARCH_QUERY_TEXT))
+
+
 def q_tfidf_doc_weights(sf_dir: str) -> pa.Table:
     eng = engine_for(sf_dir)
     idx = index_for(sf_dir)
@@ -163,5 +189,8 @@ SEARCH_CORE_QUERIES = {
     "inner_topk": q_inner_topk,
     "blend_topk": q_blend_topk,
     "role_filter_search": q_role_filter_search,
+    "part_a_blend_topk": q_part_a_blend_topk,
+    "expanded_search": q_expanded_search,
+    "rerank_search": q_rerank_search,
     "tfidf_doc_weights": q_tfidf_doc_weights,
 }

@@ -47,37 +47,43 @@ class QueryEngine:
             self._ref_tok = ReferenceTokenizer(stemming=self.profile.stemming)
 
     # ------------------------------------------------------------------
-    def parse_query(self, query: str) -> dict[str, int]:
-        """Tokenize + case-resolve against the dictionary → {term: q_tf}."""
+    def parse_query(self, query: str, expander=None) -> dict[str, float]:
+        """Tokenize, optionally expand (Q14-Q17 plugin hook, applied before
+        case resolution as the reference's searcher variants do), then
+        case-resolve against the dictionary → {term: q_weight}."""
         if self._ref_tok is not None:
             counts, _ = self._ref_tok.parse_sentence(query)
-            raw_terms = [t for t, c in counts.items() for _ in range(c)]
+            raw = {t: float(c) for t, c in counts.items()}
         else:
             from ..functions.tokenize import simple_tokenize_flat
 
             _, flat = simple_tokenize_flat(pa.array([query], type=pa.string()))
-            raw_terms = flat.to_pylist()
-        resolved: dict[str, int] = {}
-        for term in raw_terms:
+            raw = {}
+            for t in flat.to_pylist():
+                raw[t] = raw.get(t, 0.0) + 1.0
+        if expander is not None:
+            raw = expander(raw, self)
+        resolved: dict[str, float] = {}
+        for term, w in raw.items():
             if self.reader.has_term(term.lower()):
                 term = term.lower()
             elif self.reader.has_term(term.upper()):
                 term = term.upper()
             else:
                 continue
-            resolved[term] = resolved.get(term, 0) + 1
+            resolved[term] = resolved.get(term, 0.0) + w
         return resolved
 
     # ------------------------------------------------------------------
     def search(self, query: str, k: int | None = None, method: str = "exact",
-               role: str | None = None) -> pa.Table:
+               role: str | None = None, expander=None) -> pa.Table:
         """→ pa.Table (conv_id, turn_idx:int32, score:float64), ranked.
 
         ``role`` restricts candidates to turns with that role (a metadata
         filter the reference has no analogue for; scores are per-doc so
         filtering commutes with scoring).
         """
-        q = self.parse_query(query)
+        q = self.parse_query(query, expander=expander)
         if not q:
             return _empty_result()
         if method == "wand" and k is not None and role is None:

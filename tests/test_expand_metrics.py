@@ -1,0 +1,161 @@
+"""Query expansion plugins, embedding rerank, IR metrics, file IO."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from searchengine_ray.pipelines import metrics
+from searchengine_ray.pipelines.build import build_index
+from searchengine_ray.pipelines.expand import (
+    EmbeddingKNNExpansion,
+    HashWordVectors,
+    SpellExpansion,
+    SynonymExpansion,
+    compute_doc_vectors,
+    rerank_by_embedding,
+)
+from searchengine_ray.pipelines.search import QueryEngine
+from searchengine_ray.sources.queries_file import (
+    read_labels_csv,
+    read_queries_tsv,
+    write_results_csv,
+)
+from searchengine_ray.sources.transcripts import write_synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def qe(tmp_path_factory):
+    root = tmp_path_factory.mktemp("exp")
+    src, idx = str(root / "c"), str(root / "i")
+    write_synth_transcripts(src, n_files=2, n_convs=20, turns_per_conv=8, seed=7)
+    build_index(src, idx, profile="simple")
+    compute_doc_vectors(idx)
+    return QueryEngine(idx)
+
+
+def test_spell_expansion_corrects_typo(qe):
+    exp = SpellExpansion()
+    raw = {"indx": 1.0, "merge": 1.0}  # 'indx' → 'index' (distance 1)
+    out = exp(raw, qe)
+    assert "index" in out and "indx" not in out
+    assert out["merge"] == 1.0
+
+
+def test_spell_expansion_keeps_known(qe):
+    out = SpellExpansion()({"index": 1.0}, qe)
+    assert out == {"index": 1.0}
+
+
+def test_synonym_expansion(qe):
+    exp = SynonymExpansion({"index": ["shard"]})
+    out = exp({"index": 1.0}, qe)
+    assert out["index"] == 1.0 and out["shard"] == 0.2
+    res_plain = qe.search("index", k=5)
+    res_exp = qe.search("index", k=5, expander=exp)
+    assert not res_plain.equals(res_exp)  # expansion changes candidates/scores
+
+
+def test_knn_expansion_only_short_queries(qe):
+    exp = EmbeddingKNNExpansion(max_query_terms=2)
+    long_q = {"index": 1.0, "merge": 1.0, "shard": 1.0}
+    assert exp(long_q, qe) == long_q
+    short = exp({"index": 1.0}, qe)
+    assert len(short) > 1  # neighbors added
+    assert short["index"] >= 1.0
+
+
+def test_hash_vectors_deterministic():
+    v = HashWordVectors(16)
+    a, b = v(["word", "other"]), v(["word", "other"])
+    assert np.allclose(a, b)
+    assert not np.allclose(a[0], a[1])
+
+
+def test_rerank_by_embedding(qe):
+    res = qe.search("index merge", k=10)
+    rr = rerank_by_embedding(qe, res, "index merge")
+    assert rr.num_rows == res.num_rows
+    assert set(zip(rr["conv_id"].to_pylist(), rr["turn_idx"].to_pylist())) == set(
+        zip(res["conv_id"].to_pylist(), res["turn_idx"].to_pylist())
+    )
+    s = rr["score"].to_numpy()
+    assert (np.diff(np.floor(s * 1e6 + 0.5)) <= 0).all()  # ranked desc
+
+
+# ---------------------------------------------------------------------------
+# metrics (hand-computed values, reference Part C/metrics.py semantics)
+# ---------------------------------------------------------------------------
+
+TOY = pd.DataFrame(
+    {
+        "query": [1, 1, 2, 2, 2, 3],
+        "doc": ["a", "b", "c", "d", "e", "f"],
+        "y_true": [1, 0, 1, 1, 0, 0],
+    }
+)
+
+
+def test_precision():
+    assert metrics.precision(TOY, True, 1) == 0.5
+    assert abs(metrics.precision(TOY) - (0.5 + 2 / 3 + 0) / 3) < 1e-12
+
+
+def test_precision_at_n():
+    assert metrics.precision_at_n(TOY, 1, 2) == 0.5
+    assert metrics.precision_at_n(TOY, 3, 1) == 0
+    assert metrics.precision_at_n(TOY, 2, 2) == 1.0
+
+
+def test_recall():
+    assert metrics.recall(TOY, {1: 2}) == 0.5
+    assert abs(metrics.recall(TOY, {1: 2, 2: 3, 3: 1}) - (0.5 + 2 / 3 + 0) / 3) < 1e-12
+
+
+def test_map():
+    # q1: relevant at rank 1 → AP 1; q2: ranks 1,2 → AP 1; q3: none → 0
+    assert abs(metrics.mean_average_precision(TOY) - 2 / 3) < 1e-12
+
+
+def test_evaluate_join(qe):
+    res = {1: qe.search("index merge", k=5), 2: qe.search("cluster spill", k=5)}
+    labels_rows = []
+    for qid, t in res.items():
+        for i, (c, ti) in enumerate(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist())):
+            labels_rows.append({"query": qid, "doc": f"{c}:{ti}", "y_true": 1 if i < 2 else 0})
+    labels = pd.DataFrame(labels_rows)
+    m = metrics.evaluate(res, labels)
+    assert m["n_joined"] == sum(t.num_rows for t in res.values())
+    assert m["precision@5"] == pytest.approx(2 / 5)
+    assert m["MAP"] == pytest.approx(1.0)  # relevant docs are ranked first
+
+
+# ---------------------------------------------------------------------------
+# file IO (S3/S4/K3)
+# ---------------------------------------------------------------------------
+
+def test_queries_tsv_roundtrip(tmp_path):
+    p = tmp_path / "queries.tsv"
+    p.write_text("query_id\tinformation_need\tkeywords\n1\tneed one\tspark join\n2\tneed two\tfast table\n")
+    t = read_queries_tsv(str(p))
+    assert t["query_id"].to_pylist() == [1, 2]
+    assert t["keywords"].to_pylist() == ["spark join", "fast table"]
+
+    plain = tmp_path / "queries.txt"
+    plain.write_text("spark join\nfast table\n")
+    t2 = read_queries_tsv(str(plain))
+    assert t2["keywords"].to_pylist() == ["spark join", "fast table"]
+
+
+def test_labels_csv_and_results_sink(tmp_path, qe):
+    lp = tmp_path / "labels.csv"
+    lp.write_text("query,tweet,y_true\n1,c1:0,1\n1,c2:3,0\n")
+    labels = read_labels_csv(str(lp))
+    assert labels["y_true"].to_pylist() == [1, 0]
+
+    res = {1: qe.search("index", k=3)}
+    out = tmp_path / "results.csv"
+    write_results_csv(str(out), res)
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "query,doc,rank"
+    assert len(lines) == 1 + res[1].num_rows
