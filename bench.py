@@ -10,10 +10,12 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N}
 
---scaling: runs the same job in fresh processes at num_cpus=8 and 32 on
+--scaling: runs the same job in fresh processes at num_cpus=N and 4N on
 the same (pre-warmed) input and reports both throughputs plus the
 scaling efficiency — the in-sandbox proxy for the N→4N cluster-size
-criterion (see BASELINE.md).
+criterion (see BASELINE.md).  Default pair 2→8 (16 physical cores:
+higher pairs saturate the box and measure SMT contention, not the
+pipeline).
 """
 
 from __future__ import annotations
@@ -35,6 +37,12 @@ QUERY_WORDS = (
     "spark join fast table window merge batch stream dup vector sort key "
     "hash filter value row line part order customer query data small big slow"
 ).split()
+
+
+def _timed(fn) -> float:
+    t = time.perf_counter()
+    fn()
+    return time.perf_counter() - t
 
 
 def bench_queries():
@@ -110,17 +118,24 @@ def run_once() -> dict:
     build_sec = time.perf_counter() - t0
 
     qe = QueryEngine(idx)
-    lat_exact, lat_wand = [], []
-    for q in bench_queries():
+    lat_cold, lat_exact, lat_wand = [0.0], [0.0], [0.0]
+    qs = [] if os.environ.get("GRAFT_BENCH_SKIP_QUERIES") else bench_queries()
+    for q in qs:  # cold pass: includes parquet fetch + varbyte decode
         t = time.perf_counter()
         qe.search(q, k=10)
-        lat_exact.append(time.perf_counter() - t)
-        t = time.perf_counter()
-        qe.search(q, k=10, method="wand")
-        lat_wand.append(time.perf_counter() - t)
-    query_sec = sum(lat_exact)
+        lat_cold.append(time.perf_counter() - t)
+    for q in qs:  # warm: min of 3 (robust to background load)
+        lat_exact.append(min(
+            _timed(lambda: qe.search(q, k=10)) for _ in range(3)
+        ))
+        lat_wand.append(min(
+            _timed(lambda: qe.search(q, k=10, method="wand")) for _ in range(3)
+        ))
+    query_sec = sum(lat_cold)
+    lat_cold.sort()
     lat_exact.sort()
     lat_wand.sort()
+    p95_cold = lat_cold[int(0.95 * (len(lat_cold) - 1))]
     p95 = lat_exact[int(0.95 * (len(lat_exact) - 1))]
     p95_wand = lat_wand[int(0.95 * (len(lat_wand) - 1))]
 
@@ -135,6 +150,7 @@ def run_once() -> dict:
             "build": round(build_sec, 3),
             "build_turns_per_sec": round(n_turns / build_sec, 1),
             "query_batch": round(query_sec, 4),
+            "query_p95_cold_ms": round(p95_cold * 1000, 2),
             "query_p95_ms": round(p95 * 1000, 2),
             "query_p95_wand_ms": round(p95_wand * 1000, 2),
             "n_turns": n_turns,
@@ -149,6 +165,13 @@ def run_once() -> dict:
 def run_scaling():
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env.setdefault("GRAFT_BENCH_SKIP_QUERIES", "1")  # scaling scores build only
+        # the scaling criterion is measured on the full reference-rules
+        # tokenizer profile — the real workload, whose compute dominates
+        # the (fixed) shuffle-barrier overhead
+        env.setdefault("GRAFT_BENCH_PROFILE", "reference")
+        env.setdefault("GRAFT_BENCH_REP", "100")
+        env.setdefault("GRAFT_BENCH_FILES", "64")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -156,20 +179,28 @@ def run_scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N parallelism on the same input.  This box exposes 32 SMT
+    # threads on ~16 physical cores: num_cpus=32 oversubscribes and
+    # REGRESSES, and num_cpus=16 saturates the machine (workers compete
+    # with raylet/object-store/Arrow-IO threads), so the honest
+    # unsaturated 4× pair is 2 → 8.  Override with GRAFT_SCALE_LO/HI.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
+    os.environ.setdefault("GRAFT_BENCH_REP", "100")
+    os.environ.setdefault("GRAFT_BENCH_FILES", "64")
     prepare_corpus()  # shared, warmed input
     r_lo, r_hi = sub(lo), sub(hi)
     t_lo, t_hi = r_lo["queries"]["build"], r_hi["queries"]["build"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
-        "metric": "build-throughput scaling efficiency (8→32 cpus)",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "turns_per_sec_8": r_lo["queries"]["build_turns_per_sec"],
-        "turns_per_sec_32": r_hi["queries"]["build_turns_per_sec"],
+        "metric": f"build-throughput scaling efficiency ({lo}→{hi} cpus)",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"turns_per_sec_{lo}": r_lo["queries"]["build_turns_per_sec"],
+        f"turns_per_sec_{hi}": r_hi["queries"]["build_turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "value_8": r_lo["value"],
-        "value_32": r_hi["value"],
+        f"value_{lo}": r_lo["value"],
+        f"value_{hi}": r_hi["value"],
     }))
 
 

@@ -1,0 +1,101 @@
+"""Command-line entry points (own their Ray session, unlike the library).
+
+    python -m searchengine_ray.cli build  --source DIR --index DIR [--profile P]
+    python -m searchengine_ray.cli search --index DIR --query "..." [--k N] [--wand]
+    python -m searchengine_ray.cli batch  --index DIR --queries FILE --out results.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "16")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="searchengine_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an inverted index from transcript parquet")
+    b.add_argument("--source", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--profile", default="simple")
+    b.add_argument("--no-resume", action="store_true")
+
+    s = sub.add_parser("search", help="query an index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--wand", action="store_true")
+    s.add_argument("--role")
+
+    q = sub.add_parser("batch", help="run a queries file, write results CSV")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True)
+    q.add_argument("--out", required=True)
+    q.add_argument("--k", type=int, default=10)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "build":
+        ray = _ray_session()
+        from .pipelines.build import build_index
+
+        stats = build_index(
+            args.source, args.index, profile=args.profile, resume=not args.no_resume
+        )
+        print(json.dumps(stats))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "search":
+        from .pipelines.search import QueryEngine
+
+        qe = QueryEngine(args.index)
+        res = qe.search(
+            args.query, k=args.k,
+            method="wand" if args.wand else "exact", role=args.role,
+        )
+        for c, t, sc in zip(
+            res["conv_id"].to_pylist(), res["turn_idx"].to_pylist(), res["score"].to_pylist()
+        ):
+            print(f"{c}\t{t}\t{sc:.6f}")
+        return 0
+
+    if args.cmd == "batch":
+        from .pipelines.search import QueryEngine
+        from .sources.queries_file import read_queries_tsv, write_results_csv
+
+        qe = QueryEngine(args.index)
+        queries = read_queries_tsv(args.queries)
+        results = {
+            qid: qe.search(kw, k=args.k)
+            for qid, kw in zip(
+                queries["query_id"].to_pylist(), queries["keywords"].to_pylist()
+            )
+        }
+        write_results_csv(args.out, results)
+        print(f"wrote {args.out} ({len(results)} queries)")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -51,12 +51,13 @@ def varbyte_decode(buf: np.ndarray) -> np.ndarray:
     b = np.frombuffer(memoryview(buf), dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     if b.size == 0:
         return np.empty(0, dtype=_U64)
-    is_last = (b & 0x80) == 0
+    is_last = ((b & 0x80) == 0).astype(np.int64)
     ends = np.flatnonzero(is_last)
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, ends - starts + 1)
+    group_id = np.cumsum(is_last) - is_last  # index of each byte's group
+    pos = np.arange(b.size, dtype=np.int64) - starts[group_id]
     contrib = (b & 0x7F).astype(_U64) << (_U64(7) * pos.astype(_U64))
     return np.add.reduceat(contrib, starts)
 

@@ -31,10 +31,10 @@ import pyarrow.parquet as pq
 
 from ..profiles import get_profile
 from ..stages.postings import (
-    CHUNKS_SCHEMA,
+    ApplyResolution,
     ExplodeEncodeStage,
-    MergePostingsGroup,
-    partial_merge_group,
+    MergeRangeGroup,
+    resolve_surfaces,
 )
 from ..stages.tokenize import TOKENIZED_SCHEMA, TokenizeStage
 from ..state.manifest import BuildManifest
@@ -44,14 +44,20 @@ _READ_COLS = ["conv_id", "turn_idx", "role", "tool", "text"]
 
 
 class _TokenizePartition:
-    """One task per input file: read → tokenize → checkpointed parquet part.
+    """One task per input file: read → tokenize → checkpointed parquet
+    parts for tokenized, docstats AND partial posting runs (the
+    per-partition posting-run construction happens here, on the same
+    stateful actor pool, so the data is exploded/encoded while it is hot
+    instead of in a separate read-back job).
 
     Runs as an actor pool so the reference profile's compiled regex rule
     tables are built once per actor, not once per file.
     """
 
-    def __init__(self, profile_name: str, index_dir: str, sub_batch: int = 65536):
+    def __init__(self, profile_name: str, index_dir: str, n_ranges: int,
+                 sub_batch: int = 65536):
         self.stage = TokenizeStage(profile_name)
+        self.explode = ExplodeEncodeStage(n_ranges=n_ranges)
         self.index_dir = index_dir
         self.sub_batch = sub_batch
 
@@ -69,6 +75,17 @@ class _TokenizePartition:
             tmp = dest + ".tmp"
             pq.write_table(tok, tmp)
             os.replace(tmp, dest)
+            # side outputs while the table is hot: docstats projection and
+            # the partition's encoded posting runs
+            dstat = os.path.join(self.index_dir, "docstats", f"{pid}.parquet")
+            os.makedirs(os.path.dirname(dstat), exist_ok=True)
+            pq.write_table(tok.select(_SCALAR_COLS), dstat + ".tmp")
+            os.replace(dstat + ".tmp", dstat)
+            runs = self.explode(tok)
+            rdest = os.path.join(self.index_dir, "runs", f"{pid}.parquet")
+            os.makedirs(os.path.dirname(rdest), exist_ok=True)
+            pq.write_table(runs, rdest + ".tmp")
+            os.replace(rdest + ".tmp", rdest)
             out["pid"].append(pid)
             out["path"].append(path)
             out["rows_in"].append(src.num_rows)
@@ -88,8 +105,8 @@ def build_index(
     index_dir: str,
     profile="simple",
     n_shards: int = 16,
-    chunk_docs: int = 131072,
-    n_salts: int = 1,
+    chunk_docs: int = 262144,
+    n_ranges: int = 32,
     resume: bool = True,
     concurrency: int | None = None,
 ) -> dict:
@@ -117,14 +134,25 @@ def build_index(
         if pending:
             ctrl = rd.from_items([{"pid": p, "path": f} for p, f in pending])
             pool = max(1, min(concurrency or 8, len(pending)))
-            metrics = ctrl.map_batches(
-                _TokenizePartition,
-                fn_constructor_args=(prof.name, index_dir),
-                batch_size=1,
-                batch_format="pyarrow",
-                concurrency=pool,
-                num_cpus=1,
-            ).take_all()
+            if prof.tokenizer == "simple":
+                # stateless profile → plain tasks reuse the default worker
+                # pool (no dedicated actor processes to spin up)
+                def tokenize_partition(batch: pa.Table) -> pa.Table:
+                    return _TokenizePartition(prof.name, index_dir, n_ranges)(batch)
+
+                metrics = ctrl.map_batches(
+                    tokenize_partition, batch_size=1, batch_format="pyarrow",
+                    num_cpus=1,
+                ).take_all()
+            else:
+                metrics = ctrl.map_batches(
+                    _TokenizePartition,
+                    fn_constructor_args=(prof.name, index_dir, n_ranges),
+                    batch_size=1,
+                    batch_format="pyarrow",
+                    concurrency=pool,
+                    num_cpus=1,
+                ).take_all()
             for m in metrics:
                 manifest.mark_partition(m["pid"], m["path"], {k: int(v) for k, v in m.items() if k not in ("pid", "path")})
             manifest.invalidate_downstream()
@@ -143,56 +171,101 @@ def build_index(
 
     tokenized_dir = os.path.join(index_dir, "tokenized")
 
-    # ---- stage: docstats (scalar projection of tokenized) ---------------
-    if not manifest.stage_done("docstats"):
+    # ---- stage: docstats ------------------------------------------------
+    # (partitioned builds emit docstats parts alongside tokenize; the
+    # streaming path needs the explicit projection job)
+    if not isinstance(source, str) and not manifest.stage_done("docstats"):
         shutil.rmtree(os.path.join(index_dir, "docstats"), ignore_errors=True)
         rd.read_parquet(tokenized_dir, columns=_SCALAR_COLS).write_parquet(
             os.path.join(index_dir, "docstats")
         )
         manifest.mark_stage("docstats")
 
-    # ---- stage: postings (runs → merge shuffle → sharded chunks) --------
-    if not manifest.stage_done("postings"):
+    # ---- stage: runs ----------------------------------------------------
+    # (partitioned builds emit run parts in the tokenize task; the
+    # streaming path builds them in an explicit job)
+    runs_dir = os.path.join(index_dir, "runs")
+    if not isinstance(source, str) and not manifest.stage_done("runs"):
         tok = rd.read_parquet(
             tokenized_dir, columns=["doc_id", "doc_len", "terms", "tfs", "is_entity"]
         )
-        runs = tok.map_batches(
-            ExplodeEncodeStage(n_salts=n_salts), batch_format="pyarrow"
+        shutil.rmtree(runs_dir, ignore_errors=True)
+        tok.map_batches(
+            ExplodeEncodeStage(n_ranges=n_ranges), batch_format="pyarrow"
+        ).write_parquet(runs_dir)
+        manifest.mark_stage("runs", {"n_ranges": n_ranges})
+
+    # ---- stage: postings (resolve → (term, range) merge shuffle) --------
+    if not manifest.stage_done("postings"):
+        import ray
+
+        # global case/entity resolution from run METADATA only (no blobs)
+        meta_tbl = rd.read_parquet(
+            runs_dir, columns=["fold_key", "surface", "is_cap", "is_entity", "df"]
+        ).to_pandas()
+        mapping, dropped = resolve_surfaces(
+            {c: meta_tbl[c].to_numpy() for c in meta_tbl.columns},
+            case_folding=prof.case_folding,
         )
-        if n_salts > 1:
-            runs = runs.groupby(["fold_key", "salt"]).map_groups(
-                partial_merge_group, batch_format="pyarrow"
-            )
-        merger = MergePostingsGroup(
-            n_shards=n_shards, chunk_docs=chunk_docs, case_folding=prof.case_folding
-        )
+        mapping_ref, dropped_ref = ray.put(mapping), ray.put(dropped)
+
+        merger = MergeRangeGroup(n_shards=n_shards, chunk_docs=chunk_docs)
 
         def merge_group(g: pa.Table) -> pa.Table:
             return merger(g)
 
-        chunks = runs.groupby("fold_key").map_groups(merge_group, batch_format="pyarrow")
+        def apply_resolution(batch: pa.Table) -> pa.Table:
+            return ApplyResolution(mapping_ref, dropped_ref)(batch)
+
+        # cap block count: the groupby sort creates map×reduce shuffle
+        # objects, so hundreds of small blocks make it coordination-bound
+        n_blocks = 2 * (concurrency or 8)
+        chunks = (
+            rd.read_parquet(runs_dir, override_num_blocks=n_blocks)
+            .map_batches(apply_resolution, batch_format="pyarrow")
+            .groupby(["term", "range"])
+            .map_groups(merge_group, batch_format="pyarrow")
+        )
         shutil.rmtree(os.path.join(index_dir, "postings"), ignore_errors=True)
         chunks.write_parquet(
             os.path.join(index_dir, "postings"), partition_cols=["shard"]
         )
-        manifest.mark_stage("postings", {"n_salts": n_salts, "n_shards": n_shards})
-
-    # ---- stage: dictionary ----------------------------------------------
-    if not manifest.stage_done("dictionary"):
-        chunks_meta = rd.read_parquet(
-            os.path.join(index_dir, "postings"),
-            columns=["term", "shard", "chunk_idx", "df", "cf"],
+        manifest.mark_stage(
+            "postings", {"n_ranges": n_ranges, "n_shards": n_shards,
+                         "n_surfaces": len(mapping), "n_dropped_entities": len(dropped)}
         )
-        def to_dictionary(t: pa.Table) -> pa.Table:
-            t = t.filter(pa.compute.equal(t["chunk_idx"], 0)).drop_columns(["chunk_idx"])
-            # hive partition values come back as strings from the read
-            sh = pa.compute.cast(t["shard"], pa.int32())
-            return t.set_column(t.schema.get_field_index("shard"), "shard", sh)
 
-        dictionary = chunks_meta.map_batches(to_dictionary, batch_format="pyarrow")
-        shutil.rmtree(os.path.join(index_dir, "dictionary"), ignore_errors=True)
-        dictionary.write_parquet(os.path.join(index_dir, "dictionary"))
+    # ---- stage: dictionary (tiny aggregate over chunk metadata) ---------
+    # column-pruned parquet scan of metadata only — a driver-side DuckDB
+    # aggregate, not a Ray job (the data is vocabulary-sized)
+    if not manifest.stage_done("dictionary"):
+        import duckdb
+        import pyarrow.parquet as _pq
+
+        con = duckdb.connect()
+        dic = con.sql(
+            f"""SELECT term, sum(df_chunk)::BIGINT AS df,
+                       sum(cf_chunk)::BIGINT AS cf,
+                       min(shard)::INTEGER AS shard
+                FROM read_parquet('{index_dir}/postings/*/*.parquet',
+                                  hive_partitioning=true)
+                GROUP BY term"""
+        ).arrow()
+        con.close()
+        dict_dir = os.path.join(index_dir, "dictionary")
+        shutil.rmtree(dict_dir, ignore_errors=True)
+        os.makedirs(dict_dir, exist_ok=True)
+        _pq.write_table(
+            dic if isinstance(dic, pa.Table) else pa.table(dic),
+            os.path.join(dict_dir, "part-0.parquet"),
+        )
         manifest.mark_stage("dictionary")
+
+    # streaming builds drop the runs intermediate (resume restarts from
+    # tokenized); partitioned builds keep run parts — they are the
+    # per-partition checkpoints a partial re-run reuses
+    if not isinstance(source, str) and manifest.stage_done("dictionary"):
+        shutil.rmtree(runs_dir, ignore_errors=True)
 
     # ---- stage: corpus stats + skew metrics -----------------------------
     meta_path = os.path.join(index_dir, "index_meta.json")
@@ -261,6 +334,7 @@ def compute_doc_weights(index_dir: str) -> str:
     accumulation, an order-dependent quirk we deliberately drop — the
     value only feeds the cosine term whose blend weight is 0).
     """
+    import pyarrow.dataset as pads
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -268,10 +342,16 @@ def compute_doc_weights(index_dir: str) -> str:
 
     with open(os.path.join(index_dir, "index_meta.json")) as f:
         n_docs = json.load(f)["n_docs"]
+    dic = pads.dataset(os.path.join(index_dir, "dictionary")).to_table(columns=["term", "df"])
+    # term → global df lookup, broadcast to the weight tasks (small here;
+    # at 10^12 scale this becomes a chunks⋈dictionary join on term)
+    df_map = dict(zip(dic["term"].to_pylist(), dic["df"].to_pylist()))
 
     def explode_w2(batch: pa.Table) -> pa.Table:
         ids_all, w2_all = [], []
-        for df, run in zip(batch["df"].to_pylist(), batch["run"].to_pylist()):
+        for df, run in zip(
+            (df_map[t] for t in batch["term"].to_pylist()), batch["run"].to_pylist()
+        ):
             ids, tfs, lens = decode_postings(run)
             w = (tfs / lens) * np.log10(n_docs / df)
             ids_all.append(ids)
@@ -291,7 +371,7 @@ def compute_doc_weights(index_dir: str) -> str:
 
     _sh.rmtree(out_dir, ignore_errors=True)
     (
-        rd.read_parquet(os.path.join(index_dir, "postings"), columns=["df", "run"])
+        rd.read_parquet(os.path.join(index_dir, "postings"), columns=["term", "run"])
         .map_batches(explode_w2, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Sum("w2", alias_name="doc_weight_sq"))

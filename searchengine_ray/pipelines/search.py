@@ -76,12 +76,18 @@ class QueryEngine:
 
     # ------------------------------------------------------------------
     def search(self, query: str, k: int | None = None, method: str = "exact",
-               role: str | None = None, expander=None) -> pa.Table:
+               role: str | None = None, expander=None,
+               max_candidates: int | None = None,
+               anomaly_cut_std: float | None = None) -> pa.Table:
         """→ pa.Table (conv_id, turn_idx:int32, score:float64), ranked.
 
         ``role`` restricts candidates to turns with that role (a metadata
         filter the reference has no analogue for; scores are per-doc so
         filtering commutes with scoring).
+        ``max_candidates`` is the Part A safety cap (searcher.py:19,75-82)
+        — keep only the top-N candidates by score before ranking.
+        ``anomaly_cut_std`` drops candidates scoring below
+        mean − n·std (the reference's unused helper, ranker_glove.py:181-202).
         """
         q = self.parse_query(query, expander=expander)
         if not q:
@@ -90,7 +96,25 @@ class QueryEngine:
             ids, scores = self._score_wand(q, k)
         else:
             ids, scores = self._score_exact(q)
+        if max_candidates is not None and len(ids) > max_candidates:
+            keep = np.argpartition(scores, -max_candidates)[-max_candidates:]
+            ids, scores = ids[keep], scores[keep]
+        if anomaly_cut_std is not None and len(scores):
+            keep = scores >= scores.mean() - anomaly_cut_std * scores.std()
+            ids, scores = ids[keep], scores[keep]
         return self._rank(ids, scores, k, role=role)
+
+    # ------------------------------------------------------------------
+    def _fetch_postings(self, terms: list[str]) -> dict:
+        """Fetch/decode postings for all query terms; cold terms in
+        parallel threads (parquet reads release the GIL)."""
+        cold = [t for t in terms if t not in self.reader._chunk_cache]
+        if len(cold) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(cold))) as ex:
+                list(ex.map(self.reader.postings, cold))
+        return {t: self.reader.postings(t) for t in terms}
 
     # ------------------------------------------------------------------
     def _term_scores(self, term: str, q_tf: int, ids, tfs, lens):
@@ -105,7 +129,7 @@ class QueryEngine:
         return bm25, inner
 
     def _score_exact(self, q: dict[str, int]):
-        posted = {t: self.reader.postings(t) for t in q}
+        posted = self._fetch_postings(list(q))
         all_ids = np.concatenate([posted[t][0] for t in q])
         cand = np.unique(all_ids)
         bm25 = np.zeros(len(cand))
@@ -232,23 +256,32 @@ class QueryEngine:
     def _rank(self, ids: np.ndarray, scores: np.ndarray, k: int | None,
               role: str | None = None) -> pa.Table:
         dm = self.reader.docmap()
-        pos = np.searchsorted(dm["doc_id"], ids)
-        if role is not None:
-            keep = dm["role"][pos] == role
-            ids, scores, pos = ids[keep], scores[keep], pos[keep]
-        conv = dm["conv_id"][pos]
-        turn = dm["turn_idx"][pos]
         rounded = round_half_up(scores, RANK_DECIMALS)
-        order = np.lexsort((turn, conv, -rounded))
+        if role is not None:
+            pos_all = np.searchsorted(dm["doc_id"], ids)
+            keep = dm["role"][pos_all] == role
+            ids, scores, rounded = ids[keep], scores[keep], rounded[keep]
         n = len(ids)
         if k is None:
             k = round(0.9 * n)  # ranker.py:39 (banker's round, as in Python)
-        order = order[: max(k, 0)]
+        k = max(min(k, n), 0)
+        # shrink to the top-score subset (plus rounded-score ties) BEFORE
+        # the expensive doc-key lookup and string lexsort — candidates can
+        # be nearly the whole corpus for head-term queries
+        if 0 < k < n:
+            thresh = np.partition(rounded, n - k)[n - k]
+            sel = np.flatnonzero(rounded >= thresh)
+        else:
+            sel = np.arange(n)
+        pos = np.searchsorted(dm["doc_id"], ids[sel])
+        conv = dm["conv_id"][pos]
+        turn = dm["turn_idx"][pos]
+        order = np.lexsort((turn, conv, -rounded[sel]))[:k]
         return pa.table(
             {
                 "conv_id": pa.array(conv[order], pa.string()),
                 "turn_idx": pa.array(turn[order].astype(np.int32), pa.int32()),
-                "score": pa.array(scores[order], pa.float64()),
+                "score": pa.array(scores[sel][order], pa.float64()),
             }
         )
 

@@ -40,7 +40,15 @@ SIMPLE_PART_A = Profile(
 REFERENCE = Profile(
     name="reference", tokenizer="reference", case_folding=True, entity_rule=True
 )
-PROFILES = {p.name: p for p in (SIMPLE, SIMPLE_BM25, SIMPLE_INNER, SIMPLE_PART_A, REFERENCE)}
+# P16 stemming variant (reference parser_module.py:217-225 / stemmer.py:4-14)
+REFERENCE_STEM = Profile(
+    name="reference_stem", tokenizer="reference", case_folding=True,
+    entity_rule=True, stemming=True,
+)
+PROFILES = {
+    p.name: p
+    for p in (SIMPLE, SIMPLE_BM25, SIMPLE_INNER, SIMPLE_PART_A, REFERENCE, REFERENCE_STEM)
+}
 
 
 def get_profile(name_or_profile) -> Profile:

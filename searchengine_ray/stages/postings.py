@@ -2,25 +2,27 @@
 
 Reimagines the reference's external-memory build (per-letter posting
 files + BSBI pairwise merge, ``Part A/indexer.py:47-51`` /
-``Part A/merger.py:21-58``) as:
+``Part A/merger.py:21-58``) as three Ray Data stages:
 
 1. ``ExplodeEncodeStage`` (map_batches): tokenized rows → one encoded
-   partial posting run per (fold_key, surface) per batch.  Runs are
+   partial posting run per (surface, doc-range) per batch.  Runs are
    doc_id-sorted and delta+varbyte compressed before the shuffle, so the
-   groupby moves compact binary blobs, not exploded rows.
-2. optional ``partial_merge_group`` (groupby (fold_key, salt)): salted
-   pre-merge for head-term skew — concatenates runs of the same surface
-   so the final per-term group sees at most ``n_salts`` runs per surface.
-3. ``merge_posting_group`` (groupby fold_key): resolves the reference's
-   capital-letter case rule I2 (``Part C/indexer.py:59-74,126-150``)
-   order-free, applies the ≥2-docs entity rule P15
-   (``parser_module.py:501-534``) as a df filter, merges runs into
-   doc_id-sorted posting lists and re-encodes them into bounded chunks
-   with block-max metadata (max norm_tf) for WAND pruning.
+   groupby moves compact binary blobs, not exploded rows.  ``range`` =
+   the top bits of the (uniform) doc_id hash — the skew key.
+2. ``resolve_surfaces``: a metadata-only pass (no binary payloads) that
+   applies the reference's capital-letter rule I2
+   (``Part C/indexer.py:59-74,126-150``) order-free and the ≥2-docs
+   entity rule P15 (``parser_module.py:501-534``) globally, producing a
+   surface → final-term map (and drop set).
+3. ``merge_range_group`` (groupby (term, range)): merges the ≤P runs of
+   one term restricted to one doc range into a single doc_id-sorted,
+   chunked, block-max-annotated posting chunk.
 
-fold_key = lower(term) when the term starts with an ASCII letter, else
-the term itself — the order-free grouping under which the reference's
-order-dependent case migration reaches the same final state.
+The doc-range split is the explicit head-term skew handling: a term
+with df ≈ N (role tokens, tool names) merges as ``n_ranges`` parallel
+groups instead of one giant group, and its posting list is the ordered
+concatenation of its range chunks (ranges are doc_id-prefix-disjoint,
+so chunk_idx := range keeps postings globally sorted).
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ RUN_SCHEMA = pa.schema(
         ("surface", pa.string()),
         ("is_cap", pa.bool_()),      # first char ASCII uppercase (candidate for I2 folding)
         ("is_entity", pa.bool_()),
-        ("salt", pa.int32()),
+        ("range", pa.int32()),       # doc_id high bits — the merge skew key
         ("df", pa.int64()),
         ("cf", pa.int64()),
         ("doc_min", pa.int64()),
@@ -49,10 +51,9 @@ CHUNKS_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
         ("shard", pa.int32()),
-        ("chunk_idx", pa.int32()),
-        ("df", pa.int64()),          # term-total df (stamped on every chunk)
-        ("cf", pa.int64()),
+        ("chunk_idx", pa.int32()),   # := range; ranges are doc-ordered + disjoint
         ("df_chunk", pa.int64()),
+        ("cf_chunk", pa.int64()),
         ("doc_min", pa.int64()),
         ("doc_max", pa.int64()),
         ("max_ntf", pa.float64()),   # block-max norm_tf for WAND
@@ -69,10 +70,13 @@ def fold_key_of(term: str) -> str:
 
 
 class ExplodeEncodeStage:
-    """Tokenized batch → encoded partial posting runs (one per surface)."""
+    """Tokenized batch → encoded partial posting runs, one per
+    (surface, doc-range)."""
 
-    def __init__(self, n_salts: int = 1):
-        self.n_salts = n_salts
+    def __init__(self, n_ranges: int = 32):
+        assert n_ranges & (n_ranges - 1) == 0, "n_ranges must be a power of two"
+        self.n_ranges = n_ranges
+        self.shift = 63 - int(np.log2(n_ranges)) if n_ranges > 1 else 63
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -85,127 +89,159 @@ class ExplodeEncodeStage:
         ents = pc.list_flatten(tbl["is_entity"]).to_numpy(zero_copy_only=False)
         doc_ids = tbl["doc_id"].to_numpy()[parent]
         doc_lens = tbl["doc_len"].to_numpy()[parent]
+        ranges = (doc_ids >> self.shift).astype(np.int32) if self.n_ranges > 1 else np.zeros(len(doc_ids), np.int32)
 
-        terms_np = terms.to_numpy(zero_copy_only=False)
-        order = np.lexsort((doc_ids, terms_np))
-        terms_np, tfs, ents, doc_ids, doc_lens = (
-            terms_np[order], tfs[order], ents[order], doc_ids[order], doc_lens[order]
+        # dictionary-encode terms: integer-code sort beats object-string
+        # lexsort by an order of magnitude on big batches
+        dterms = terms.dictionary_encode()
+        if isinstance(dterms, pa.ChunkedArray):
+            dterms = dterms.combine_chunks()
+        codes = dterms.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_terms = dterms.dictionary.to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc_ids, ranges, codes))
+        codes, tfs, ents, doc_ids, doc_lens, ranges = (
+            codes[order], tfs[order], ents[order], doc_ids[order],
+            doc_lens[order], ranges[order],
         )
-        uniq, starts = np.unique(terms_np, return_index=True)
+        terms_np = uniq_terms[codes]
+        # segment boundaries where (term, range) changes
+        change = np.empty(len(codes), dtype=bool)
+        change[0] = True
+        if len(codes) > 1:
+            change[1:] = (codes[1:] != codes[:-1]) | (ranges[1:] != ranges[:-1])
+        starts = np.flatnonzero(change)
         bounds = np.append(starts, len(terms_np))
 
         out = {k: [] for k in RUN_SCHEMA.names}
-        for i, surface in enumerate(uniq):
-            s, e = bounds[i], bounds[i + 1]
+        for i, s in enumerate(starts):
+            e = bounds[i + 1]
+            surface = terms_np[s]
             ids, tf, dl = doc_ids[s:e], tfs[s:e], doc_lens[s:e]
             out["fold_key"].append(fold_key_of(surface))
             out["surface"].append(surface)
             out["is_cap"].append(surface[0] in _ASCII_UPPER)
             out["is_entity"].append(bool(ents[s]))
-            out["salt"].append(int(ids[0]) % self.n_salts if self.n_salts > 1 else 0)
-            out["df"].append(e - s)
+            out["range"].append(int(ranges[s]))
+            out["df"].append(int(e - s))
             out["cf"].append(int(tf.sum()))
             out["doc_min"].append(int(ids[0]))
             out["run"].append(encode_postings(ids, tf, dl))
         return pa.table(out, schema=RUN_SCHEMA)
 
 
-def _merge_runs(runs: list[bytes]):
-    """Merge doc_id-sorted runs → (ids, tfs, lens); duplicate doc_ids
-    (same doc via two case-folded surfaces) sum their tfs."""
-    parts = [decode_postings(r) for r in runs]
-    ids = np.concatenate([p[0] for p in parts])
-    tfs = np.concatenate([p[1] for p in parts])
-    lens = np.concatenate([p[2] for p in parts])
-    order = np.argsort(ids, kind="stable")
-    ids, tfs, lens = ids[order], tfs[order], lens[order]
-    uniq, starts = np.unique(ids, return_index=True)
-    if len(uniq) != len(ids):
-        tfs = np.add.reduceat(tfs, starts)
-        lens = lens[starts]
-        ids = uniq
-    return ids, tfs, lens
+def resolve_surfaces(meta, case_folding: bool, entity_min_df: int = 2):
+    """Global surface resolution from run METADATA only (no payloads).
+
+    meta: dict of numpy arrays (fold_key, surface, is_cap, is_entity, df).
+    Returns (surface→term map, dropped surface set).
+
+    Order-free I2: a capitalized-first surface folds into the all-lower
+    form when that form occurs anywhere in the corpus, else into the
+    full-UPPER form.  P15: entity candidates are dropped unless their
+    global df (over the resolved entry) is ≥ entity_min_df.
+    """
+    import collections
+
+    fold = meta["fold_key"]
+    surf = meta["surface"]
+    is_cap = meta["is_cap"]
+    is_ent = meta["is_entity"]
+    dfs = meta["df"]
+
+    df_by_surface: dict[str, int] = collections.defaultdict(int)
+    ent_surfaces = set()
+    groups: dict[str, set] = collections.defaultdict(set)
+    caps: dict[str, bool] = {}
+    for fk, s, c, e, d in zip(fold, surf, is_cap, is_ent, dfs):
+        groups[fk].add(s)
+        caps[s] = bool(c)
+        df_by_surface[s] += int(d)
+        if e:
+            ent_surfaces.add(s)
+
+    mapping: dict[str, str] = {}
+    for fk, surfaces in groups.items():
+        lower_exists = any((not caps[s]) and s == fk for s in surfaces)
+        for s in surfaces:
+            if not caps[s]:
+                mapping[s] = s
+            elif lower_exists:
+                mapping[s] = fk
+            else:
+                mapping[s] = s.upper()
+
+    # entity df is evaluated on the resolved entry (sum over folded surfaces)
+    entry_df: dict[str, int] = collections.defaultdict(int)
+    entry_is_ent: dict[str, bool] = collections.defaultdict(bool)
+    for s, term in mapping.items():
+        entry_df[term] += df_by_surface[s]
+        if s in ent_surfaces:
+            entry_is_ent[term] = True
+    dropped = {
+        s for s, term in mapping.items()
+        if entry_is_ent[term] and entry_df[term] < entity_min_df
+    }
+    if not case_folding:
+        mapping = {s: s for s in mapping}
+    return mapping, dropped
 
 
-def partial_merge_group(group: pa.Table) -> pa.Table:
-    """Salted pre-merge: one run per surface within this (fold_key, salt)
-    group.  Schema-preserving so the final merge is unchanged."""
-    if group.num_rows <= 1:
-        return group
-    surfaces = group["surface"].to_numpy(zero_copy_only=False)
-    runs = group["run"].to_pylist()
-    out = {k: [] for k in RUN_SCHEMA.names}
-    for surface in np.unique(surfaces):
-        idx = np.flatnonzero(surfaces == surface)
-        ids, tfs, lens = _merge_runs([runs[i] for i in idx])
-        r0 = int(idx[0])
-        out["fold_key"].append(group["fold_key"][r0].as_py())
-        out["surface"].append(surface)
-        out["is_cap"].append(group["is_cap"][r0].as_py())
-        out["is_entity"].append(group["is_entity"][r0].as_py())
-        out["salt"].append(group["salt"][r0].as_py())
-        out["df"].append(len(ids))
-        out["cf"].append(int(tfs.sum()))
-        out["doc_min"].append(int(ids[0]))
-        out["run"].append(encode_postings(ids, tfs, lens))
-    return pa.table(out, schema=RUN_SCHEMA)
+class ApplyResolution:
+    """map_batches stage: surface → term column via the broadcast map."""
+
+    def __init__(self, mapping_ref, dropped_ref):
+        import ray
+
+        self.mapping = ray.get(mapping_ref)
+        self.dropped = ray.get(dropped_ref)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        surfaces = tbl["surface"].to_numpy(zero_copy_only=False)
+        keep = np.array([s not in self.dropped for s in surfaces], dtype=bool)
+        tbl = tbl.filter(pa.array(keep))
+        surfaces = surfaces[keep]
+        terms = pa.array([self.mapping.get(s, s) for s in surfaces], pa.string())
+        return tbl.append_column("term", terms)
 
 
-class MergePostingsGroup:
-    """Final per-fold_key merge → index chunk rows (CHUNKS_SCHEMA)."""
+class MergeRangeGroup:
+    """Final merge for one (term, doc-range) group → one chunk row
+    (or several if the range exceeds chunk_docs)."""
 
-    def __init__(self, n_shards: int = 16, chunk_docs: int = 131072,
-                 case_folding: bool = False, entity_min_df: int = 2):
+    def __init__(self, n_shards: int = 16, chunk_docs: int = 262144):
         self.n_shards = n_shards
         self.chunk_docs = chunk_docs
-        self.case_folding = case_folding
-        self.entity_min_df = entity_min_df
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        surfaces = group["surface"].to_numpy(zero_copy_only=False)
-        is_cap = group["is_cap"].to_numpy(zero_copy_only=False)
-        is_ent = group["is_entity"].to_numpy(zero_copy_only=False)
+        term = group["term"][0].as_py()
+        rng = int(group["range"][0].as_py())
         runs = group["run"].to_pylist()
-        fold_key = group["fold_key"][0].as_py()
-
-        # --- resolve surfaces into index entries (order-free I2) ---------
-        entries: dict[str, list[int]] = {}
-        if not self.case_folding:
-            for i, s in enumerate(surfaces):
-                entries.setdefault(s, []).append(i)
-        else:
-            lower_form_exists = any(
-                (not is_cap[i]) and surfaces[i] == fold_key for i in range(len(surfaces))
-            )
-            for i, s in enumerate(surfaces):
-                if not is_cap[i]:
-                    entries.setdefault(s, []).append(i)  # verbatim (incl. full-lower)
-                elif lower_form_exists:
-                    entries.setdefault(fold_key, []).append(i)
-                else:
-                    entries.setdefault(s.upper(), []).append(i)
-
+        parts = [decode_postings(r) for r in runs]
+        ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        lens = np.concatenate([p[2] for p in parts])
+        order = np.argsort(ids, kind="stable")
+        ids, tfs, lens = ids[order], tfs[order], lens[order]
+        uniq, starts = np.unique(ids, return_index=True)
+        if len(uniq) != len(ids):  # same doc via case-folded surfaces: sum tf
+            tfs = np.add.reduceat(tfs, starts)
+            lens = lens[starts]
+            ids = uniq
+        shard = int(term_shard([term], self.n_shards)[0])
         out = {k: [] for k in CHUNKS_SCHEMA.names}
-        for term in sorted(entries):
-            idx = entries[term]
-            ids, tfs, lens = _merge_runs([runs[i] for i in idx])
-            if any(is_ent[i] for i in idx) and len(ids) < self.entity_min_df:
-                continue  # P15: entity seen in fewer than 2 docs
-            df, cf = len(ids), int(tfs.sum())
-            shard = int(term_shard([term], self.n_shards)[0])
-            n_chunks = 0
-            for s in range(0, df, self.chunk_docs):
-                e = min(s + self.chunk_docs, df)
-                cid, ctf, clen = ids[s:e], tfs[s:e], lens[s:e]
-                out["term"].append(term)
-                out["shard"].append(shard)
-                out["chunk_idx"].append(n_chunks)
-                out["df"].append(df)
-                out["cf"].append(cf)
-                out["df_chunk"].append(e - s)
-                out["doc_min"].append(int(cid[0]))
-                out["doc_max"].append(int(cid[-1]))
-                out["max_ntf"].append(float((ctf / clen).max()))
-                out["run"].append(encode_postings(cid, ctf, clen))
-                n_chunks += 1
+        n = len(ids)
+        n_sub = max(1, -(-n // self.chunk_docs))
+        for ci in range(n_sub):
+            s, e = ci * self.chunk_docs, min((ci + 1) * self.chunk_docs, n)
+            cid, ctf, clen = ids[s:e], tfs[s:e], lens[s:e]
+            out["term"].append(term)
+            out["shard"].append(shard)
+            # (range, sub-chunk) packed so chunk_idx order == doc_id order
+            out["chunk_idx"].append((rng << 16) | ci)
+            out["df_chunk"].append(e - s)
+            out["cf_chunk"].append(int(ctf.sum()))
+            out["doc_min"].append(int(cid[0]))
+            out["doc_max"].append(int(cid[-1]))
+            out["max_ntf"].append(float((ctf / clen).max()))
+            out["run"].append(encode_postings(cid, ctf, clen))
         return pa.table(out, schema=CHUNKS_SCHEMA)

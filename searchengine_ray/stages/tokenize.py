@@ -75,6 +75,19 @@ class TokenizeStage:
         ents = np.zeros(len(terms), dtype=bool)
         return rows, terms, tfs, ents
 
+    @staticmethod
+    def _term_codes(terms_arrow) -> tuple[np.ndarray, np.ndarray]:
+        """Dictionary-encode a term column → (int codes, unique values);
+        sorting by integer code replaces object-string lexsort in the hot
+        path (order = first-appearance, deterministic for fixed input)."""
+        d = terms_arrow.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        return (
+            d.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            d.dictionary.to_numpy(zero_copy_only=False),
+        )
+
     def _reference_flat(self, tbl):
         """Per-row rule-based parse (compiled regexes held in actor state)."""
         texts = tbl["text"].to_pylist()
@@ -99,7 +112,11 @@ class TokenizeStage:
     def _assemble(self, tbl, rows, terms, tfs, ents) -> pa.Table:
         if len(rows) == 0:
             return TOKENIZED_SCHEMA.empty_table()
-        order = np.lexsort((terms, rows))  # deterministic (row, term) order
+        if len(terms) > 4096:
+            codes, uniq = self._term_codes(pa.array(terms, type=pa.string()))
+            order = np.lexsort((codes, rows))  # deterministic (row, code) order
+        else:
+            order = np.lexsort((terms, rows))  # deterministic (row, term) order
         rows, terms, tfs, ents = rows[order], terms[order], tfs[order], ents[order]
         present, starts = np.unique(rows, return_index=True)
         counts = np.diff(np.append(starts, len(rows)))

@@ -50,6 +50,17 @@ class IndexReader:
         )
         self._docmap = None
         self._doc_weights = None
+        from collections import OrderedDict
+
+        self._chunk_cache: OrderedDict = OrderedDict()
+        self._meta_cache: dict[str, dict] = {}
+        self._cache_postings = 0
+        self.cache_max_postings = 20_000_000  # ~decoded entries held per reader
+        self._shard_cache: dict[int, dict] = {}
+        # one shard's raw bytes amortize the parquet scan over all its
+        # terms; bounded by shard count × shard size (small index ⇒ all
+        # resident; at 10^12 scale query actors would pin hot shards only)
+        self.max_cached_shards = 64
 
     # -- dictionary ------------------------------------------------------
     def has_term(self, term: str) -> bool:
@@ -63,33 +74,69 @@ class IndexReader:
 
     # -- postings --------------------------------------------------------
     def chunk_meta(self, term: str):
-        """Chunk metadata rows for WAND: (chunk_idx, doc_min, doc_max, max_ntf)."""
+        """Chunk metadata rows for WAND: (chunk_idx, doc_min, doc_max,
+        max_ntf) — cached (tiny, one row per 128k postings)."""
+        cached = self._meta_cache.get(term)
+        if cached is not None:
+            return cached
         tbl = self._term_chunks(term, columns=["chunk_idx", "doc_min", "doc_max", "max_ntf"])
         order = np.argsort(tbl["chunk_idx"].to_numpy())
-        return {
+        out = {
             "chunk_idx": tbl["chunk_idx"].to_numpy()[order],
             "doc_min": tbl["doc_min"].to_numpy()[order],
             "doc_max": tbl["doc_max"].to_numpy()[order],
             "max_ntf": tbl["max_ntf"].to_numpy()[order],
         }
+        self._meta_cache[term] = out
+        return out
 
     def postings(self, term: str, chunk_ids=None):
         """Decoded postings for a term → (ids, tfs, lens) in doc_id order;
-        optionally restricted to a set of chunk indices."""
+        optionally restricted to a set of chunk indices.
+
+        Decoded chunks are LRU-cached (the rebuild of Part A's single-
+        bucket-file cache, ``Part A/searcher.py:53-61``): repeated query
+        terms skip both the parquet scan and the varbyte decode."""
         if term not in self._dict:
             return None
-        tbl = self._term_chunks(term, columns=["chunk_idx", "run"])
-        cidx = tbl["chunk_idx"].to_numpy()
-        order = np.argsort(cidx)
-        runs = tbl["run"].to_pylist()
-        parts = [
-            decode_postings(runs[i])
-            for i in order
-            if chunk_ids is None or cidx[i] in chunk_ids
-        ]
+        chunks = self._chunk_cache.get(term)
+        if chunks is None:
+            tbl = self._term_chunks(term, columns=["chunk_idx", "run"])
+            raw = sorted(zip(tbl["chunk_idx"].to_pylist(), tbl["run"].to_pylist()))
+            chunks = [(ci, decode_postings(run)) for ci, run in raw]
+            self._cache_put(term, chunks)
+        parts = [p for ci, p in chunks if chunk_ids is None or ci in chunk_ids]
         if not parts:
             return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+        if len(parts) == 1:
+            return parts[0]
         return tuple(np.concatenate([p[j] for p in parts]) for j in range(3))
+
+    def _shard_terms(self, shard: int) -> dict:
+        """Raw (chunk_idx, run) rows for every term of one shard, read in
+        a single parquet scan and kept resident."""
+        cached = self._shard_cache.get(shard)
+        if cached is None:
+            if len(self._shard_cache) >= self.max_cached_shards:
+                self._shard_cache.pop(next(iter(self._shard_cache)))
+            tbl = self._postings_ds.to_table(
+                columns=["term", "chunk_idx", "run"],
+                filter=pads.field("shard") == shard,
+            )
+            cached = {}
+            for t, ci, run in sorted(
+                zip(tbl["term"].to_pylist(), tbl["chunk_idx"].to_pylist(), tbl["run"].to_pylist())
+            ):
+                cached.setdefault(t, []).append((ci, run))
+            self._shard_cache[shard] = cached
+        return cached
+
+    def _cache_put(self, term: str, chunks) -> None:
+        self._chunk_cache[term] = chunks
+        self._cache_postings += sum(len(p[0]) for _, p in chunks)
+        while self._cache_postings > self.cache_max_postings and self._chunk_cache:
+            _, old = self._chunk_cache.popitem(last=False)
+            self._cache_postings -= sum(len(p[0]) for _, p in old)
 
     def _term_chunks(self, term: str, columns):
         shard = self._dict[term][2] if term in self._dict else int(term_shard([term], self.n_shards)[0])
