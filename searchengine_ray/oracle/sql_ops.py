@@ -14,6 +14,9 @@ from __future__ import annotations
 from ..functions.rounding import sql_round_half_up
 from ..functions.tokenize import STOPWORDS_SIMPLE
 from ..pipelines.analysis import CJK_RE, LANG_MARKERS
+from ..sources.transcripts import TRANSCRIPTS_CTE
+
+_WITH_TRANSCRIPTS = "WITH " + TRANSCRIPTS_CTE.strip()
 
 _STOP = ", ".join(f"'{w}'" for w in STOPWORDS_SIMPLE)
 _SPLIT = "regexp_split_to_array(lower(text), '[^a-z0-9]+')"
@@ -123,6 +126,40 @@ def ops_sql() -> dict[str, str]:
                    {r4("list_cosine_similarity(a.emb, b.emb)", 4)} AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+        """,
+        # ---- conversation-level ----------------------------------------
+        "conversation_stats": _WITH_TRANSCRIPTS
+        + """
+            SELECT conv_id, count(*)::BIGINT AS n_turns,
+                   sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+                   sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+                   sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)::BIGINT AS n_tool,
+                   sum(length(text))::BIGINT AS total_chars
+            FROM transcripts GROUP BY conv_id
+        """,
+        "conversation_text": _WITH_TRANSCRIPTS
+        + """
+            SELECT conv_id, count(*)::BIGINT AS n_turns,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS full_text
+            FROM transcripts GROUP BY conv_id
+        """,
+        # ---- stream-shaped (events) ------------------------------------
+        "events_windowed": f"""
+            SELECT event_type,
+                   make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+                   count(*)::BIGINT AS n,
+                   {r4('sum(value)', 4)} AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events)
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END)::BIGINT AS n_sessions
+            FROM o GROUP BY user_id
         """,
         # ---- multimodal -------------------------------------------------
         "multimodal_meta": """

@@ -12,7 +12,9 @@ import pyarrow as pa
 
 from . import analysis
 from . import ann
+from . import conversations
 from . import dedup
+from . import events
 from ..stages.multimodal import multimodal_meta
 
 
@@ -74,6 +76,22 @@ def q_multimodal_meta(sf_dir: str):
     return multimodal_meta(sf_dir)
 
 
+def q_conversation_stats(sf_dir: str):
+    return conversations.conversation_stats(sf_dir)
+
+
+def q_conversation_text(sf_dir: str):
+    return conversations.conversation_text(sf_dir)
+
+
+def q_events_windowed(sf_dir: str):
+    return events.events_windowed(sf_dir)
+
+
+def q_user_sessions(sf_dir: str):
+    return events.user_sessions(sf_dir)
+
+
 OPS_QUERIES = {
     "token_count_by_source": q_token_count_by_source,
     "quality_scores": q_quality_scores,
@@ -87,4 +105,8 @@ OPS_QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "multimodal_meta": q_multimodal_meta,
+    "conversation_stats": q_conversation_stats,
+    "conversation_text": q_conversation_text,
+    "events_windowed": q_events_windowed,
+    "user_sessions": q_user_sessions,
 }
