@@ -52,7 +52,12 @@ _URL_EXCLUDED = {"t.co", "https", "http", "html", "t", "twitter.com", "web", "st
 
 
 class ReferenceTokenizer:
-    def __init__(self, stemming: bool = False):
+    def __init__(self, stemming: bool = False, lemmatization: bool = False):
+        if lemmatization:
+            raise NotImplementedError(
+                "P17 lemmatization needs spaCy en_core_web_sm (parser_module.py:226-237), "
+                "not available in this container; use stemming=True instead"
+            )
         self.stemming = stemming
         self.re_curse = re.compile(r"[a-zA-Z]\*+[a-zA-Z]*")
         self.re_tweet_id = re.compile(r"\d{19,20}")
