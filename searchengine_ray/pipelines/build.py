@@ -195,6 +195,64 @@ def build_index(
         ).write_parquet(runs_dir)
         manifest.mark_stage("runs", {"n_ranges": n_ranges})
 
+    # ---- stage: rangemap (per-range sorted doc-id lists for dense ids) --
+    rangemap_dir = os.path.join(index_dir, "rangemap")
+    offsets_path = os.path.join(index_dir, "range_offsets.json")
+    if not manifest.stage_done("rangemap"):
+        from ..functions.codec import varbyte_encode
+        from ..stages.tokenize import TOKENIZED_SCHEMA  # noqa: F401 (doc ids live in docstats)
+
+        shift = 63 - int(np.log2(n_ranges)) if n_ranges > 1 else 63
+
+        def to_range_rows(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            return pa.table(
+                {
+                    "range": pa.array((ids >> shift).astype(np.int32), pa.int32()),
+                    "doc_id": pa.array(ids, pa.int64()),
+                }
+            )
+
+        def encode_range(g: pa.Table) -> pa.Table:
+            ids = np.sort(g["doc_id"].to_numpy())
+            deltas = np.empty(len(ids), dtype=np.uint64)
+            deltas[0] = ids[0]
+            deltas[1:] = np.diff(ids).astype(np.uint64)
+            return pa.table(
+                {
+                    "range": pa.array([int(g["range"][0].as_py())], pa.int32()),
+                    "n": pa.array([len(ids)], pa.int64()),
+                    "ids_blob": pa.array([varbyte_encode(deltas).tobytes()], pa.large_binary()),
+                }
+            )
+
+        shutil.rmtree(rangemap_dir, ignore_errors=True)
+        (
+            rd.read_parquet(os.path.join(index_dir, "docstats"), columns=["doc_id"])
+            .map_batches(to_range_rows, batch_format="pyarrow")
+            .groupby("range")
+            .map_groups(encode_range, batch_format="pyarrow")
+            .write_parquet(rangemap_dir)
+        )
+        import duckdb as _dd
+
+        con = _dd.connect()
+        rows = con.sql(
+            f"SELECT range, n FROM read_parquet('{rangemap_dir}/*.parquet') ORDER BY range"
+        ).fetchall()
+        con.close()
+        offsets = [0] * n_ranges
+        acc = 0
+        for rng_id, n in rows:
+            offsets[rng_id] = acc
+            acc += n
+        with open(offsets_path + ".tmp", "w") as f:
+            json.dump({"offsets": offsets, "n_ranges": n_ranges}, f)
+        os.replace(offsets_path + ".tmp", offsets_path)
+        manifest.mark_stage("rangemap", {"n_ranges": n_ranges})
+    with open(offsets_path) as f:
+        range_offsets = json.load(f)["offsets"]
+
     # ---- stage: postings (resolve → (term, range) merge shuffle) --------
     if not manifest.stage_done("postings"):
         import ray
@@ -209,7 +267,10 @@ def build_index(
         )
         mapping_ref, dropped_ref = ray.put(mapping), ray.put(dropped)
 
-        merger = MergeRangeGroup(n_shards=n_shards, chunk_docs=chunk_docs)
+        merger = MergeRangeGroup(
+            n_shards=n_shards, chunk_docs=chunk_docs,
+            rangemap_dir=rangemap_dir, range_offsets=range_offsets,
+        )
 
         def merge_group(g: pa.Table) -> pa.Table:
             return merger(g)
@@ -313,6 +374,7 @@ def _corpus_stats(index_dir: str, profile_name: str, n_shards: int) -> dict:
     con.close()
     return {
         "profile": profile_name,
+        "dense_ids": True,
         "n_shards": n_shards,
         "n_docs": int(n_docs),
         "total_len": int(total_len),

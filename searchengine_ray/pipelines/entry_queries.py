@@ -22,7 +22,7 @@ from ..sources.transcripts import transcripts_from_documents
 from .build import build_index, compute_doc_weights
 from .search import QueryEngine
 
-CACHE_VERSION = "v2"
+CACHE_VERSION = "v3"
 _CACHE_ROOT = f"/tmp/searchengine_ray_cache_{CACHE_VERSION}"
 _ENGINES: dict[tuple, QueryEngine] = {}
 
@@ -101,7 +101,7 @@ def q_postings_sample(sf_dir: str) -> pa.Table:
         if p is None:
             continue
         ids, tfs, _ = p
-        pos = np.searchsorted(dm["doc_id"], ids)
+        pos = eng.reader.doc_positions(ids)
         out["term"].extend([term] * len(ids))
         out["conv_id"].extend(dm["conv_id"][pos])
         out["turn_idx"].extend(dm["turn_idx"][pos].tolist())
@@ -169,7 +169,7 @@ def q_tfidf_doc_weights(sf_dir: str) -> pa.Table:
     w = pads.dataset(os.path.join(idx, "doc_weights")).to_table()
     dm = eng.reader.docmap()
     ids = w["doc_id"].to_numpy()
-    pos = np.searchsorted(dm["doc_id"], ids)
+    pos = eng.reader.doc_positions(ids)
     return pa.table(
         {
             "conv_id": pa.array(dm["conv_id"][pos], pa.string()),

@@ -258,7 +258,7 @@ class QueryEngine:
         dm = self.reader.docmap()
         rounded = round_half_up(scores, RANK_DECIMALS)
         if role is not None:
-            pos_all = np.searchsorted(dm["doc_id"], ids)
+            pos_all = self.reader.doc_positions(ids)
             keep = dm["role"][pos_all] == role
             ids, scores, rounded = ids[keep], scores[keep], rounded[keep]
         n = len(ids)
@@ -273,7 +273,7 @@ class QueryEngine:
             sel = np.flatnonzero(rounded >= thresh)
         else:
             sel = np.arange(n)
-        pos = np.searchsorted(dm["doc_id"], ids[sel])
+        pos = self.reader.doc_positions(ids[sel])
         conv = dm["conv_id"][pos]
         turn = dm["turn_idx"][pos]
         order = np.lexsort((turn, conv, -rounded[sel]))[:k]

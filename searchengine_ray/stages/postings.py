@@ -206,11 +206,40 @@ class ApplyResolution:
 
 class MergeRangeGroup:
     """Final merge for one (term, doc-range) group → one chunk row
-    (or several if the range exceeds chunk_docs)."""
+    (or several if the range exceeds chunk_docs).
 
-    def __init__(self, n_shards: int = 16, chunk_docs: int = 262144):
+    When a range map is provided, hashed doc ids are DENSIFIED here:
+    dense_id = range_offset + rank of the id within the range's sorted
+    id list.  Dense ids are globally rank-ordered (ranges are id-prefix
+    ordered), collapse varbyte deltas from ~8 bytes to 1-2, and make the
+    doc-stats lookup a direct array index at query time.  The per-range
+    id lists bound worker memory (raise n_ranges to shrink them — that
+    is the 10^12-turn knob)."""
+
+    def __init__(self, n_shards: int = 16, chunk_docs: int = 262144,
+                 rangemap_dir: str | None = None, range_offsets=None):
         self.n_shards = n_shards
         self.chunk_docs = chunk_docs
+        self.rangemap_dir = rangemap_dir
+        self.range_offsets = range_offsets
+        self._range_ids: dict[int, np.ndarray] = {}
+
+    def _range_sorted_ids(self, rng: int) -> np.ndarray:
+        ids = self._range_ids.get(rng)
+        if ids is None:
+            import pyarrow.dataset as pads
+
+            from ..functions.codec import varbyte_decode
+
+            t = pads.dataset(self.rangemap_dir).to_table(
+                filter=pads.field("range") == rng
+            )
+            deltas = varbyte_decode(np.frombuffer(t["ids_blob"][0].as_py(), np.uint8))
+            ids = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
+            if len(self._range_ids) > 8:
+                self._range_ids.clear()
+            self._range_ids[rng] = ids
+        return ids
 
     def __call__(self, group: pa.Table) -> pa.Table:
         term = group["term"][0].as_py()
@@ -227,6 +256,9 @@ class MergeRangeGroup:
             tfs = np.add.reduceat(tfs, starts)
             lens = lens[starts]
             ids = uniq
+        if self.rangemap_dir is not None:
+            sorted_ids = self._range_sorted_ids(rng)
+            ids = self.range_offsets[rng] + np.searchsorted(sorted_ids, ids)
         shard = int(term_shard([term], self.n_shards)[0])
         out = {k: [] for k in CHUNKS_SCHEMA.names}
         n = len(ids)

@@ -146,6 +146,15 @@ class IndexReader:
         )
 
     # -- doc map / stats -------------------------------------------------
+    def doc_positions(self, ids) -> np.ndarray:
+        """Positions of posting doc ids in the docmap arrays.  With dense
+        ids (index_meta dense_ids) the id IS the position (docmap is
+        sorted by the hashed id, which defines the dense rank); legacy
+        indexes fall back to binary search."""
+        if self.meta.get("dense_ids"):
+            return np.asarray(ids, dtype=np.int64)
+        return np.searchsorted(self.docmap()["doc_id"], ids)
+
     def docmap(self):
         """doc_id-sorted arrays: (doc_id, conv_id, turn_idx, doc_len, max_tf, n_curses)."""
         if self._docmap is None:

@@ -82,7 +82,7 @@ def test_postings_identical(engines):
     dm = qe.reader.docmap()
     for term in sorted(mini.inverted):
         ids, tfs, lens = qe.reader.postings(term)
-        pos = np.searchsorted(dm["doc_id"], ids)
+        pos = qe.reader.doc_positions(ids)
         got = {
             (dm["conv_id"][p], int(dm["turn_idx"][p])): (int(tf), int(dl))
             for p, tf, dl in zip(pos, tfs, lens)
@@ -94,7 +94,7 @@ def test_doc_weights_identical(engines):
     qe, mini, _ = engines
     w_ids, w_sq = qe.reader.doc_weights()
     dm = qe.reader.docmap()
-    pos = np.searchsorted(dm["doc_id"], w_ids)
+    pos = qe.reader.doc_positions(w_ids)
     got = {
         (dm["conv_id"][p], int(dm["turn_idx"][p])): w for p, w in zip(pos, w_sq)
     }
