@@ -200,7 +200,6 @@ def build_index(
     offsets_path = os.path.join(index_dir, "range_offsets.json")
     if not manifest.stage_done("rangemap"):
         from ..functions.codec import varbyte_encode
-        from ..stages.tokenize import TOKENIZED_SCHEMA  # noqa: F401 (doc ids live in docstats)
 
         shift = 63 - int(np.log2(n_ranges)) if n_ranges > 1 else 63
 

@@ -174,9 +174,13 @@ def _simple_words(text: str) -> list[str]:
     return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
 
 
-def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7):
-    """→ (doc_a, doc_b, est_jaccard) from banded LSH candidates, scored by
-    signature agreement (est_jaccard = matching minhashes / n_hashes)."""
+def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
+                      verify: bool = False, shingle: int = 3):
+    """→ (doc_a, doc_b, est_jaccard[, jaccard]) from banded LSH candidates,
+    scored by signature agreement (est_jaccard = matching minhashes /
+    n_hashes).  ``verify=True`` recomputes the EXACT shingle Jaccard for
+    the surviving candidate pairs (reading only those docs via predicate
+    pushdown — candidates are few by construction)."""
     import ray.data as rd
     from ray.data.aggregate import Count
 
@@ -225,13 +229,35 @@ def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7):
             out["doc_a"].append(da)
             out["doc_b"].append(db)
             out["est_jaccard"].append(round_half_up([est], 4)[0])
-    return pa.table(
+    result = pa.table(
         {
             "doc_a": pa.array(out["doc_a"], pa.int64()),
             "doc_b": pa.array(out["doc_b"], pa.int64()),
             "est_jaccard": pa.array(out["est_jaccard"], pa.float64()),
         }
     )
+    if verify and result.num_rows:
+        import pyarrow.dataset as pads
+
+        wanted = sorted(set(out["doc_a"]) | set(out["doc_b"]))
+        t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(wanted),
+        )
+        shingles = {}
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            words = _simple_words(text)
+            shingles[did] = {
+                " ".join(words[i : i + shingle]) for i in range(len(words) - shingle + 1)
+            } or {text}
+        exact = [
+            round_half_up(
+                [len(shingles[a] & shingles[b]) / len(shingles[a] | shingles[b])], 4
+            )[0]
+            for a, b in zip(out["doc_a"], out["doc_b"])
+        ]
+        result = result.append_column("jaccard", pa.array(exact, pa.float64()))
+    return result
 
 
 # ---------------------------------------------------------------------------

@@ -7,7 +7,6 @@ pytest coverage against planted ground truth.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from . import analysis
@@ -53,7 +52,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
 
 
 def q_minhash_lsh_pairs(sf_dir: str):
-    return dedup.minhash_lsh_pairs(sf_dir)
+    return dedup.minhash_lsh_pairs(sf_dir, verify=True)
 
 
 def q_simhash_pairs(sf_dir: str):

@@ -56,11 +56,6 @@ class IndexReader:
         self._meta_cache: dict[str, dict] = {}
         self._cache_postings = 0
         self.cache_max_postings = 20_000_000  # ~decoded entries held per reader
-        self._shard_cache: dict[int, dict] = {}
-        # one shard's raw bytes amortize the parquet scan over all its
-        # terms; bounded by shard count × shard size (small index ⇒ all
-        # resident; at 10^12 scale query actors would pin hot shards only)
-        self.max_cached_shards = 64
 
     # -- dictionary ------------------------------------------------------
     def has_term(self, term: str) -> bool:
@@ -111,25 +106,6 @@ class IndexReader:
         if len(parts) == 1:
             return parts[0]
         return tuple(np.concatenate([p[j] for p in parts]) for j in range(3))
-
-    def _shard_terms(self, shard: int) -> dict:
-        """Raw (chunk_idx, run) rows for every term of one shard, read in
-        a single parquet scan and kept resident."""
-        cached = self._shard_cache.get(shard)
-        if cached is None:
-            if len(self._shard_cache) >= self.max_cached_shards:
-                self._shard_cache.pop(next(iter(self._shard_cache)))
-            tbl = self._postings_ds.to_table(
-                columns=["term", "chunk_idx", "run"],
-                filter=pads.field("shard") == shard,
-            )
-            cached = {}
-            for t, ci, run in sorted(
-                zip(tbl["term"].to_pylist(), tbl["chunk_idx"].to_pylist(), tbl["run"].to_pylist())
-            ):
-                cached.setdefault(t, []).append((ci, run))
-            self._shard_cache[shard] = cached
-        return cached
 
     def _cache_put(self, term: str, chunks) -> None:
         self._chunk_cache[term] = chunks

@@ -48,12 +48,15 @@ def test_dedup_exact_finds_planted(planted_dir):
 
 
 def test_minhash_finds_planted(planted_dir):
-    res = dedup.minhash_lsh_pairs(planted_dir, threshold=0.5).to_pandas()
+    res = dedup.minhash_lsh_pairs(planted_dir, threshold=0.5, verify=True).to_pandas()
     pairs = set(zip(res.doc_a, res.doc_b))
     assert (1, 2) in pairs
     assert (3, 4) in pairs
     exact = res[(res.doc_a == 1) & (res.doc_b == 2)]
     assert float(exact.est_jaccard.iloc[0]) == 1.0
+    assert float(exact.jaccard.iloc[0]) == 1.0  # exact verify on candidates
+    near = res[(res.doc_a == 3) & (res.doc_b == 4)]
+    assert 0.5 <= float(near.jaccard.iloc[0]) < 1.0
 
 
 def test_simhash_finds_exact_dup(planted_dir):
