@@ -28,17 +28,18 @@ QUERIES = [
 ]
 
 
-@pytest.fixture(scope="module")
-def engines(tmp_path_factory):
-    root = tmp_path_factory.mktemp("refid")
+@pytest.fixture(scope="module", params=[13, 77])
+def engines(tmp_path_factory, request):
+    seed = request.param
+    root = tmp_path_factory.mktemp(f"refid{seed}")
     src = str(root / "corpus")
     idx = str(root / "index")
-    write_synth_transcripts(src, n_files=3, n_convs=40, turns_per_conv=6, seed=13)
+    write_synth_transcripts(src, n_files=3, n_convs=40, turns_per_conv=6, seed=seed)
     build_index(src, idx, profile="reference")
     compute_doc_weights(idx)
     qe = QueryEngine(idx, profile="reference")
 
-    tbl = synth_transcripts(n_convs=40, turns_per_conv=6, seed=13)
+    tbl = synth_transcripts(n_convs=40, turns_per_conv=6, seed=seed)
     mini = MiniReferenceEngine()
     mini.build(
         list(
