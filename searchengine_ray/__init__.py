@@ -17,3 +17,25 @@ owned by the caller (driver, tests, bench.py).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy public API (keeps `import searchengine_ray` free of ray/pyarrow
+    # import cost until a symbol is actually used)
+    if name == "build_index":
+        from .pipelines.build import build_index
+
+        return build_index
+    if name == "compute_doc_weights":
+        from .pipelines.build import compute_doc_weights
+
+        return compute_doc_weights
+    if name == "QueryEngine":
+        from .pipelines.search import QueryEngine
+
+        return QueryEngine
+    if name == "PROFILES":
+        from .profiles import PROFILES
+
+        return PROFILES
+    raise AttributeError(name)

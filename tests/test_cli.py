@@ -1,0 +1,53 @@
+"""CLI surface via real subprocesses (own Ray sessions)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from searchengine_ray.sources.transcripts import write_synth_transcripts
+
+ENV = dict(os.environ, RAY_GRAFT_CPUS="4", PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "searchengine_ray.cli", *args],
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=300,
+    )
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    src, idx = str(root / "c"), str(root / "i")
+    write_synth_transcripts(src, n_files=2, n_convs=8, turns_per_conv=4, seed=3)
+    r = run_cli("build", "--source", src, "--index", idx)
+    assert r.returncode == 0, r.stderr[-800:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["n_docs"] > 0
+    return root, idx
+
+
+def test_cli_search(built):
+    _, idx = built
+    r = run_cli("search", "--index", idx, "--query", "index merge", "--k", "3")
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = [l for l in r.stdout.strip().splitlines() if "\t" in l]
+    assert 1 <= len(lines) <= 3
+    conv, turn, score = lines[0].split("\t")
+    assert float(score) > 0
+
+
+def test_cli_batch(built):
+    root, idx = built
+    qfile = root / "queries.tsv"
+    qfile.write_text("query_id\tneed\tkeywords\n1\tx\tindex merge\n")
+    out = root / "results.csv"
+    r = run_cli("batch", "--index", idx, "--queries", str(qfile), "--out", str(out), "--k", "3")
+    assert r.returncode == 0, r.stderr[-500:]
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "query,doc,rank" and len(lines) > 1
