@@ -31,10 +31,12 @@ import pyarrow.parquet as pq
 
 from ..profiles import get_profile
 from ..stages.postings import (
-    ApplyResolution,
     ExplodeEncodeStage,
-    MergeRangeGroup,
-    resolve_surfaces,
+    MergeFoldRangeGroup,
+    markers_to_cogroup,
+    resolve_fold_group,
+    runs_to_cogroup,
+    surface_partial_agg,
 )
 from ..stages.tokenize import TOKENIZED_SCHEMA, TokenizeStage
 from ..state.manifest import BuildManifest
@@ -252,21 +254,40 @@ def build_index(
     with open(offsets_path) as f:
         range_offsets = json.load(f)["offsets"]
 
-    # ---- stage: postings (resolve → (term, range) merge shuffle) --------
+    # ---- stage: postings (distributed resolve → (fold_key, range) merge)
     if not manifest.stage_done("postings"):
-        import ray
+        # cap block count: the groupby sort creates map×reduce shuffle
+        # objects, so hundreds of small blocks make it coordination-bound
+        n_blocks = 2 * (concurrency or 8)
 
-        # global case/entity resolution from run METADATA only (no blobs)
-        meta_tbl = rd.read_parquet(
-            runs_dir, columns=["fold_key", "surface", "is_cap", "is_entity", "df"]
-        ).to_pandas()
-        mapping, dropped = resolve_surfaces(
-            {c: meta_tbl[c].to_numpy() for c in meta_tbl.columns},
-            case_folding=prof.case_folding,
+        # global case/entity resolution — metadata-only columns, fully
+        # distributed (per-batch combiner → fold_key groupby); no
+        # vocabulary-sized structure ever touches the driver
+        case_folding = prof.case_folding
+
+        def resolve_group(g: pa.Table) -> pa.Table:
+            return resolve_fold_group(g, case_folding=case_folding)
+
+        markers = (
+            rd.read_parquet(
+                runs_dir,
+                columns=["fold_key", "surface", "is_cap", "is_entity", "df",
+                         "doc_min", "range"],
+                override_num_blocks=n_blocks,
+            )
+            .map_batches(surface_partial_agg, batch_format="pyarrow")
+            .groupby("fold_key")
+            .map_groups(resolve_group, batch_format="pyarrow")
+            .map_batches(markers_to_cogroup, batch_format="pyarrow")
         )
-        mapping_ref, dropped_ref = ray.put(mapping), ray.put(dropped)
+        # payload scan is column-pruned: is_cap/is_entity/df/cf/doc_min
+        # never ride through the merge shuffle
+        runs = rd.read_parquet(
+            runs_dir, columns=["fold_key", "range", "surface", "run"],
+            override_num_blocks=n_blocks,
+        ).map_batches(runs_to_cogroup, batch_format="pyarrow")
 
-        merger = MergeRangeGroup(
+        merger = MergeFoldRangeGroup(
             n_shards=n_shards, chunk_docs=chunk_docs,
             rangemap_dir=rangemap_dir, range_offsets=range_offsets,
         )
@@ -274,16 +295,9 @@ def build_index(
         def merge_group(g: pa.Table) -> pa.Table:
             return merger(g)
 
-        def apply_resolution(batch: pa.Table) -> pa.Table:
-            return ApplyResolution(mapping_ref, dropped_ref)(batch)
-
-        # cap block count: the groupby sort creates map×reduce shuffle
-        # objects, so hundreds of small blocks make it coordination-bound
-        n_blocks = 2 * (concurrency or 8)
         chunks = (
-            rd.read_parquet(runs_dir, override_num_blocks=n_blocks)
-            .map_batches(apply_resolution, batch_format="pyarrow")
-            .groupby(["term", "range"])
+            runs.union(markers)
+            .groupby(["fold_key", "range"])
             .map_groups(merge_group, batch_format="pyarrow")
         )
         shutil.rmtree(os.path.join(index_dir, "postings"), ignore_errors=True)
@@ -291,8 +305,7 @@ def build_index(
             os.path.join(index_dir, "postings"), partition_cols=["shard"]
         )
         manifest.mark_stage(
-            "postings", {"n_ranges": n_ranges, "n_shards": n_shards,
-                         "n_surfaces": len(mapping), "n_dropped_entities": len(dropped)}
+            "postings", {"n_ranges": n_ranges, "n_shards": n_shards}
         )
 
     # ---- stage: dictionary (tiny aggregate over chunk metadata) ---------

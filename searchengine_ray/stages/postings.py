@@ -9,20 +9,35 @@ files + BSBI pairwise merge, ``Part A/indexer.py:47-51`` /
    doc_id-sorted and delta+varbyte compressed before the shuffle, so the
    groupby moves compact binary blobs, not exploded rows.  ``range`` =
    the top bits of the (uniform) doc_id hash — the skew key.
-2. ``resolve_surfaces``: a metadata-only pass (no binary payloads) that
-   applies the reference's capital-letter rule I2
-   (``Part C/indexer.py:59-74,126-150``) order-free and the ≥2-docs
-   entity rule P15 (``parser_module.py:501-534``) globally, producing a
-   surface → final-term map (and drop set).
-3. ``merge_range_group`` (groupby (term, range)): merges the ≤P runs of
-   one term restricted to one doc range into a single doc_id-sorted,
-   chunked, block-max-annotated posting chunk.
+2. Distributed surface resolution: a metadata-only, fully distributed
+   pass (``surface_partial_agg`` map_batches → groupby(fold_key) →
+   ``resolve_fold_group``) that applies the reference's capital-letter
+   rule I2 (``Part C/indexer.py:59-74,126-150``) order-free and the
+   ≥2-docs entity rule P15 (``parser_module.py:501-534``) globally.
+   Case-folded entries are always a refinement of fold_key groups
+   (every case variant of a word shares fold_key), so BOTH decisions
+   are computable inside one fold group — no driver-side vocabulary
+   structure anywhere.  Output: small (fold_key, surface, term,
+   dropped, ranges) resolution rows.
+3. ``MergeFoldRangeGroup`` (groupby (fold_key, range) over the UNION of
+   run rows and per-range-replicated resolution marker rows): applies
+   the resolution inside the group (a co-group, not a broadcast join),
+   then merges each resolved term's runs into doc_id-sorted, chunked,
+   block-max-annotated posting chunks.
 
 The doc-range split is the explicit head-term skew handling: a term
 with df ≈ N (role tokens, tool names) merges as ``n_ranges`` parallel
 groups instead of one giant group, and its posting list is the ordered
 concatenation of its range chunks (ranges are doc_id-prefix-disjoint,
 so chunk_idx := range keeps postings globally sorted).
+
+Entity df is decided over DISTINCT documents, matching the reference's
+``inverted[term]["df"] < 2`` check on de-duplicated postings: a doc
+containing two case variants of the same folded entity must count once.
+With entity_min_df=2 this is metadata-exact — an entry survives iff
+some surface alone has df≥2, else every surface has exactly one run
+whose ``doc_min`` IS its only doc id, so distinct docs = distinct
+doc_min values.
 """
 
 from __future__ import annotations
@@ -129,84 +144,181 @@ class ExplodeEncodeStage:
         return pa.table(out, schema=RUN_SCHEMA)
 
 
-def resolve_surfaces(meta, case_folding: bool, entity_min_df: int = 2):
-    """Global surface resolution from run METADATA only (no payloads).
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("fold_key", pa.string()),
+        ("surface", pa.string()),
+        ("is_cap", pa.bool_()),
+        ("is_entity", pa.bool_()),   # any run flagged the surface as entity
+        ("df", pa.int64()),          # distinct docs for this surface (runs are doc-disjoint)
+        ("doc_min", pa.int64()),     # min doc id; == the only doc id when df == 1
+        ("ranges", pa.list_(pa.int32())),  # distinct doc-ranges the surface appears in
+    ]
+)
 
-    meta: dict of numpy arrays (fold_key, surface, is_cap, is_entity, df).
-    Returns (surface→term map, dropped surface set).
+RESOLUTION_SCHEMA = pa.schema(
+    [
+        ("fold_key", pa.string()),
+        ("surface", pa.string()),
+        ("term", pa.string()),
+        ("dropped", pa.bool_()),
+        ("ranges", pa.list_(pa.int32())),
+    ]
+)
+
+# the co-group row layout the merge groupby consumes: run rows carry the
+# payload (term/dropped null), resolution marker rows carry the decision
+# (run null), replicated once per range the surface occurs in
+COGROUP_SCHEMA = pa.schema(
+    [
+        ("fold_key", pa.string()),
+        ("range", pa.int32()),
+        ("surface", pa.string()),
+        ("term", pa.string()),
+        ("dropped", pa.bool_()),
+        ("run", pa.large_binary()),
+    ]
+)
+
+
+def surface_partial_agg(tbl: pa.Table) -> pa.Table:
+    """Per-batch combiner over runs METADATA: one partial row per surface.
+
+    Runs of one surface have pairwise-disjoint doc sets (one run per
+    (surface, range, input partition); a doc lives in exactly one
+    partition and one range), so summing run dfs gives the surface's
+    exact distinct-doc df."""
+    if tbl.num_rows == 0:
+        return PARTIAL_SCHEMA.empty_table()
+    d = tbl["surface"].combine_chunks().dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = d.dictionary.to_pylist()
+    order = np.argsort(codes, kind="stable")
+    codes_s = codes[order]
+    dfs = tbl["df"].to_numpy()[order]
+    doc_min = tbl["doc_min"].to_numpy()[order]
+    ent = tbl["is_entity"].to_numpy(zero_copy_only=False)[order]
+    cap = tbl["is_cap"].to_numpy(zero_copy_only=False)[order]
+    rng = tbl["range"].to_numpy()[order]
+    fold = tbl["fold_key"].to_numpy(zero_copy_only=False)[order]
+    starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
+    bounds = np.append(starts, len(codes_s))
+    out = {k: [] for k in PARTIAL_SCHEMA.names}
+    for i, s in enumerate(starts):
+        e = bounds[i + 1]
+        out["fold_key"].append(fold[s])
+        out["surface"].append(uniq[codes_s[s]])
+        out["is_cap"].append(bool(cap[s]))
+        out["is_entity"].append(bool(ent[s:e].any()))
+        out["df"].append(int(dfs[s:e].sum()))
+        out["doc_min"].append(int(doc_min[s:e].min()))
+        out["ranges"].append(np.unique(rng[s:e]).tolist())
+    return pa.table(out, schema=PARTIAL_SCHEMA)
+
+
+def resolve_fold_group(group: pa.Table, case_folding: bool = True,
+                       entity_min_df: int = 2) -> pa.Table:
+    """Resolution for ONE fold_key group of surface partials (map_groups).
 
     Order-free I2: a capitalized-first surface folds into the all-lower
     form when that form occurs anywhere in the corpus, else into the
-    full-UPPER form.  P15: entity candidates are dropped unless their
-    global df (over the resolved entry) is ≥ entity_min_df.
+    full-UPPER form.  P15: entity entries are dropped unless they occur
+    in ≥ entity_min_df DISTINCT documents (``Part C/indexer.py`` drops
+    on de-duplicated per-term df, so a doc containing two case variants
+    counts once).  With entity_min_df=2 the distinct count is metadata-
+    exact: keep iff some surface alone has df≥2, else all surfaces have
+    df==1 (one run each) and distinct docs = distinct doc_min values.
     """
-    import collections
+    fold_key = group["fold_key"][0].as_py()
+    # finish the per-surface aggregation over partials
+    agg: dict[str, list] = {}  # surface -> [is_cap, any_ent, df_sum, doc_mins, ranges]
+    for s, c, en, df, dm, rg in zip(
+        group["surface"].to_pylist(), group["is_cap"].to_pylist(),
+        group["is_entity"].to_pylist(), group["df"].to_pylist(),
+        group["doc_min"].to_pylist(), group["ranges"].to_pylist(),
+    ):
+        a = agg.setdefault(s, [bool(c), False, 0, None, set()])
+        a[1] = a[1] or bool(en)
+        a[2] += int(df)
+        a[3] = dm if a[3] is None else min(a[3], dm)
+        a[4].update(rg)
 
-    fold = meta["fold_key"]
-    surf = meta["surface"]
-    is_cap = meta["is_cap"]
-    is_ent = meta["is_entity"]
-    dfs = meta["df"]
-
-    df_by_surface: dict[str, int] = collections.defaultdict(int)
-    ent_surfaces = set()
-    groups: dict[str, set] = collections.defaultdict(set)
-    caps: dict[str, bool] = {}
-    for fk, s, c, e, d in zip(fold, surf, is_cap, is_ent, dfs):
-        groups[fk].add(s)
-        caps[s] = bool(c)
-        df_by_surface[s] += int(d)
-        if e:
-            ent_surfaces.add(s)
-
+    lower_exists = any(s == fold_key and not a[0] for s, a in agg.items())
     mapping: dict[str, str] = {}
-    for fk, surfaces in groups.items():
-        lower_exists = any((not caps[s]) and s == fk for s in surfaces)
-        for s in surfaces:
-            if not caps[s]:
-                mapping[s] = s
-            elif lower_exists:
-                mapping[s] = fk
-            else:
-                mapping[s] = s.upper()
+    entries: dict[str, list[str]] = {}
+    for s, a in agg.items():
+        term = s if not a[0] else (fold_key if lower_exists else s.upper())
+        mapping[s] = term
+        entries.setdefault(term, []).append(s)
 
-    # entity df is evaluated on the resolved entry (sum over folded surfaces)
-    entry_df: dict[str, int] = collections.defaultdict(int)
-    entry_is_ent: dict[str, bool] = collections.defaultdict(bool)
-    for s, term in mapping.items():
-        entry_df[term] += df_by_surface[s]
-        if s in ent_surfaces:
-            entry_is_ent[term] = True
-    dropped = {
-        s for s, term in mapping.items()
-        if entry_is_ent[term] and entry_df[term] < entity_min_df
-    }
-    if not case_folding:
-        mapping = {s: s for s in mapping}
-    return mapping, dropped
+    dropped: set[str] = set()
+    for term, surfaces in entries.items():
+        if not any(agg[s][1] for s in surfaces):
+            continue  # not an entity entry
+        dfs = [agg[s][2] for s in surfaces]
+        if max(dfs) >= entity_min_df:
+            continue
+        if all(d == 1 for d in dfs):
+            distinct = len({agg[s][3] for s in surfaces})
+        else:
+            # metadata-undecidable (only reachable when entity_min_df > 2):
+            # fall back to the additive upper bound
+            distinct = sum(dfs)
+        if distinct < entity_min_df:
+            dropped.update(surfaces)
 
-
-class ApplyResolution:
-    """map_batches stage: surface → term column via the broadcast map."""
-
-    def __init__(self, mapping_ref, dropped_ref):
-        import ray
-
-        self.mapping = ray.get(mapping_ref)
-        self.dropped = ray.get(dropped_ref)
-
-    def __call__(self, tbl: pa.Table) -> pa.Table:
-        surfaces = tbl["surface"].to_numpy(zero_copy_only=False)
-        keep = np.array([s not in self.dropped for s in surfaces], dtype=bool)
-        tbl = tbl.filter(pa.array(keep))
-        surfaces = surfaces[keep]
-        terms = pa.array([self.mapping.get(s, s) for s in surfaces], pa.string())
-        return tbl.append_column("term", terms)
+    out = {k: [] for k in RESOLUTION_SCHEMA.names}
+    for s, a in agg.items():
+        out["fold_key"].append(fold_key)
+        out["surface"].append(s)
+        out["term"].append(mapping[s] if case_folding else s)
+        out["dropped"].append(s in dropped)
+        out["ranges"].append(sorted(a[4]))
+    return pa.table(out, schema=RESOLUTION_SCHEMA)
 
 
-class MergeRangeGroup:
-    """Final merge for one (term, doc-range) group → one chunk row
-    (or several if the range exceeds chunk_docs).
+def markers_to_cogroup(res: pa.Table) -> pa.Table:
+    """Resolution rows → co-group marker rows, one per (surface, range)."""
+    import pyarrow.compute as pc
+
+    if res.num_rows == 0:
+        return COGROUP_SCHEMA.empty_table()
+    ranges = pc.list_flatten(res["ranges"])
+    parent = pc.list_parent_indices(res["ranges"])
+    return pa.table(
+        {
+            "fold_key": pc.take(res["fold_key"], parent),
+            "range": ranges,
+            "surface": pc.take(res["surface"], parent),
+            "term": pc.take(res["term"], parent),
+            "dropped": pc.take(res["dropped"], parent),
+            "run": pa.nulls(len(ranges), pa.large_binary()),
+        },
+        schema=COGROUP_SCHEMA,
+    )
+
+
+def runs_to_cogroup(runs: pa.Table) -> pa.Table:
+    """Run rows (payload) → co-group rows with null term/dropped."""
+    n = runs.num_rows
+    return pa.table(
+        {
+            "fold_key": runs["fold_key"],
+            "range": runs["range"],
+            "surface": runs["surface"],
+            "term": pa.nulls(n, pa.string()),
+            "dropped": pa.nulls(n, pa.bool_()),
+            "run": runs["run"],
+        },
+        schema=COGROUP_SCHEMA,
+    )
+
+
+class MergeFoldRangeGroup:
+    """Final merge for one (fold_key, doc-range) co-group: apply the
+    group's resolution marker rows (surface → term map + entity drops),
+    then merge each resolved term's runs into chunk rows (several per
+    term if the range exceeds chunk_docs).
 
     When a range map is provided, hashed doc ids are DENSIFIED here:
     dense_id = range_offset + rank of the id within the range's sorted
@@ -242,38 +354,55 @@ class MergeRangeGroup:
         return ids
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        term = group["term"][0].as_py()
         rng = int(group["range"][0].as_py())
-        runs = group["run"].to_pylist()
-        parts = [decode_postings(r) for r in runs]
-        ids = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        lens = np.concatenate([p[2] for p in parts])
-        order = np.argsort(ids, kind="stable")
-        ids, tfs, lens = ids[order], tfs[order], lens[order]
-        uniq, starts = np.unique(ids, return_index=True)
-        if len(uniq) != len(ids):  # same doc via case-folded surfaces: sum tf
-            tfs = np.add.reduceat(tfs, starts)
-            lens = lens[starts]
-            ids = uniq
-        if self.rangemap_dir is not None:
-            sorted_ids = self._range_sorted_ids(rng)
-            ids = self.range_offsets[rng] + np.searchsorted(sorted_ids, ids)
-        shard = int(term_shard([term], self.n_shards)[0])
+        surfaces = group["surface"].to_pylist()
+        terms = group["term"].to_pylist()
+        droppeds = group["dropped"].to_pylist()
+        blobs = group["run"].to_pylist()
+        # split marker rows (term set) from run rows (payload set)
+        mapping: dict[str, str] = {}
+        dropset: set[str] = set()
+        per_term: dict[str, list] = {}
+        for s, t, d in zip(surfaces, terms, droppeds):
+            if t is not None:
+                mapping[s] = t
+                if d:
+                    dropset.add(s)
+        for s, blob in zip(surfaces, blobs):
+            if blob is None or s in dropset:
+                continue
+            per_term.setdefault(mapping.get(s, s), []).append(blob)
+
         out = {k: [] for k in CHUNKS_SCHEMA.names}
-        n = len(ids)
-        n_sub = max(1, -(-n // self.chunk_docs))
-        for ci in range(n_sub):
-            s, e = ci * self.chunk_docs, min((ci + 1) * self.chunk_docs, n)
-            cid, ctf, clen = ids[s:e], tfs[s:e], lens[s:e]
-            out["term"].append(term)
-            out["shard"].append(shard)
-            # (range, sub-chunk) packed so chunk_idx order == doc_id order
-            out["chunk_idx"].append((rng << 16) | ci)
-            out["df_chunk"].append(e - s)
-            out["cf_chunk"].append(int(ctf.sum()))
-            out["doc_min"].append(int(cid[0]))
-            out["doc_max"].append(int(cid[-1]))
-            out["max_ntf"].append(float((ctf / clen).max()))
-            out["run"].append(encode_postings(cid, ctf, clen))
+        for term in sorted(per_term):
+            parts = [decode_postings(r) for r in per_term[term]]
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            lens = np.concatenate([p[2] for p in parts])
+            order = np.argsort(ids, kind="stable")
+            ids, tfs, lens = ids[order], tfs[order], lens[order]
+            uniq, starts = np.unique(ids, return_index=True)
+            if len(uniq) != len(ids):  # same doc via case-folded surfaces: sum tf
+                tfs = np.add.reduceat(tfs, starts)
+                lens = lens[starts]
+                ids = uniq
+            if self.rangemap_dir is not None:
+                sorted_ids = self._range_sorted_ids(rng)
+                ids = self.range_offsets[rng] + np.searchsorted(sorted_ids, ids)
+            shard = int(term_shard([term], self.n_shards)[0])
+            n = len(ids)
+            n_sub = max(1, -(-n // self.chunk_docs))
+            for ci in range(n_sub):
+                s, e = ci * self.chunk_docs, min((ci + 1) * self.chunk_docs, n)
+                cid, ctf, clen = ids[s:e], tfs[s:e], lens[s:e]
+                out["term"].append(term)
+                out["shard"].append(shard)
+                # (range, sub-chunk) packed so chunk_idx order == doc_id order
+                out["chunk_idx"].append((rng << 16) | ci)
+                out["df_chunk"].append(e - s)
+                out["cf_chunk"].append(int(ctf.sum()))
+                out["doc_min"].append(int(cid[0]))
+                out["doc_max"].append(int(cid[-1]))
+                out["max_ntf"].append(float((ctf / clen).max()))
+                out["run"].append(encode_postings(cid, ctf, clen))
         return pa.table(out, schema=CHUNKS_SCHEMA)

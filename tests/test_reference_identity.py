@@ -124,3 +124,88 @@ def test_rank_identity_default_k(engines, query):
     assert res.num_rows == len(exp)
     got = list(zip(res["conv_id"].to_pylist(), res["turn_idx"].to_pylist()))
     assert got == [(c, t) for c, t, _ in exp]
+
+
+def test_entity_df_counts_distinct_docs(tmp_path):
+    """Regression (round-2 ADVICE): a single doc containing two case
+    variants of the same folded entity ('DATA Corona' + 'DATA CORONA')
+    must count as ONE document for the P15 df≥2 rule — the entity entry
+    is dropped, matching the mini-reference's de-duplicated per-term df.
+    A second corpus plants the entity in two distinct docs to check the
+    keep side."""
+    import pyarrow as pa
+
+    def build_both(rows, tag):
+        tbl = pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * len(rows), pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+                "tool": pa.array([""] * len(rows), pa.string()),
+                "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+            }
+        )
+        idx = str(tmp_path / tag)
+        build_index(tbl, idx, profile="reference", n_ranges=4)
+        mini = MiniReferenceEngine()
+        mini.build(rows)
+        d = pads.dataset(f"{idx}/dictionary").to_table()
+        ray_dict = {
+            t: (df, cf)
+            for t, df, cf in zip(
+                d["term"].to_pylist(), d["df"].to_pylist(), d["cf"].to_pylist()
+            )
+        }
+        mini_dict = {t: (e["df"], e["cf"]) for t, e in mini.inverted.items()}
+        return ray_dict, mini_dict
+
+    # one doc, two case variants → distinct-doc df = 1 → dropped
+    rows = [
+        ("c0", 0, "filler words DATA Corona appear with DATA CORONA today"),
+        ("c0", 1, "unrelated filler text about streams"),
+    ]
+    ray_dict, mini_dict = build_both(rows, "drop")
+    assert "DATA CORONA" not in ray_dict
+    assert ray_dict == mini_dict
+
+    # two distinct docs → df = 2 → kept
+    rows2 = [
+        ("c0", 0, "filler words DATA Corona appear here today"),
+        ("c1", 0, "other filler with DATA CORONA elsewhere"),
+    ]
+    ray_dict2, mini_dict2 = build_both(rows2, "keep")
+    assert "DATA CORONA" in ray_dict2
+    assert ray_dict2 == mini_dict2
+
+
+def test_resolve_fold_group_distinct_df():
+    """Unit: resolve_fold_group drops an entity whose case-variant
+    surfaces share one doc (same doc_min, df==1 each) and keeps it when
+    the doc_mins differ."""
+    import pyarrow as pa
+
+    from searchengine_ray.stages.postings import (
+        PARTIAL_SCHEMA,
+        resolve_fold_group,
+    )
+
+    def partials(doc_a, doc_b):
+        return pa.table(
+            {
+                "fold_key": ["data corona", "data corona"],
+                "surface": ["DATA Corona", "DATA CORONA"],
+                "is_cap": [True, True],
+                "is_entity": [True, True],
+                "df": [1, 1],
+                "doc_min": [doc_a, doc_b],
+                "ranges": [[0], [1]],
+            },
+            schema=PARTIAL_SCHEMA,
+        )
+
+    same = resolve_fold_group(partials(42, 42))
+    assert same["dropped"].to_pylist() == [True, True]
+    assert set(same["term"].to_pylist()) == {"DATA CORONA"}
+    diff = resolve_fold_group(partials(42, 43))
+    assert diff["dropped"].to_pylist() == [False, False]
