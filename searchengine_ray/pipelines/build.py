@@ -128,10 +128,14 @@ def build_index(
     # ---- stage: tokenize -------------------------------------------------
     if isinstance(source, str):
         files = _input_files(source)
+        current = {f"p{i:05d}": path for i, path in enumerate(files)}
+        # removed/renamed inputs shift the positional pids: drop stale
+        # records + ghost checkpoint parts before anything globs them
+        manifest.reconcile(current)
         pending = [
-            (f"p{i:05d}", path)
-            for i, path in enumerate(files)
-            if not (resume and manifest.partition_done(f"p{i:05d}", path))
+            (pid, path)
+            for pid, path in current.items()
+            if not (resume and manifest.partition_done(pid, path))
         ]
         if pending:
             ctrl = rd.from_items([{"pid": p, "path": f} for p, f in pending])

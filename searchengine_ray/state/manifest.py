@@ -47,7 +47,41 @@ class BuildManifest:
         if not rec:
             return False
         fp = self.fingerprint(input_path)
-        return rec["lineage"]["bytes"] == fp["bytes"] and rec["lineage"]["mtime"] == fp["mtime"]
+        return (
+            rec["lineage"]["path"] == fp["path"]
+            and rec["lineage"]["bytes"] == fp["bytes"]
+            and rec["lineage"]["mtime"] == fp["mtime"]
+        )
+
+    def reconcile(self, current: dict[str, str]) -> list[str]:
+        """Reconcile against the CURRENT pid → input-path assignment.
+
+        Input files removed or renamed between runs shift the positional
+        pid assignment; without this, leftover tokenized/docstats/runs
+        parts for no-longer-existing pids would be globbed into the
+        postings merge and corpus stats as ghost documents.  Drops
+        manifest records whose pid is gone or whose input path changed,
+        deletes checkpoint parts for pids not in the current set, and
+        invalidates downstream stages when anything was removed.
+        Returns the affected pids."""
+        import glob
+
+        removed = []
+        for pid, rec in list(self.data["partitions"].items()):
+            if current.get(pid) != rec["lineage"]["path"]:
+                removed.append(pid)
+                del self.data["partitions"][pid]
+        for sub in ("tokenized", "docstats", "runs"):
+            for f in glob.glob(os.path.join(self.index_dir, sub, "*.parquet")):
+                pid = os.path.basename(f)[: -len(".parquet")]
+                if pid not in current:
+                    os.remove(f)
+                    if pid not in removed:
+                        removed.append(pid)
+        if removed:
+            self.data["stages"] = {}
+            self.save()
+        return removed
 
     def mark_partition(self, pid: str, input_path: str, metrics: dict) -> None:
         self.data["partitions"][pid] = {

@@ -48,3 +48,33 @@ def test_resume_skips_and_rebuilds(tmp_path):
     rec = man["partitions"]["p00001"]
     assert rec["lineage"]["path"].endswith("part-00001.parquet")
     assert rec["metrics"]["rows_in"] > 0 and rec["metrics"]["docs_out"] > 0
+
+
+def test_removed_input_reconciled(tmp_path):
+    """Regression (round-2 ADVICE): deleting an input file between runs
+    must not leave ghost tokenized/docstats/runs parts for the stale pid
+    — the rebuilt index counts only the surviving documents."""
+    src, idx = str(tmp_path / "corpus"), str(tmp_path / "index")
+    write_synth_transcripts(src, n_files=4, n_convs=20, turns_per_conv=6, seed=9)
+    stats_full = build_index(src, idx, profile="simple")
+
+    # remove the LAST input file: pids of earlier files stay aligned
+    removed = sorted(os.listdir(src))[-1]
+    os.remove(os.path.join(src, removed))
+    stats_less = build_index(src, idx, profile="simple")
+    assert stats_less["n_docs"] < stats_full["n_docs"]
+    for sub in ("tokenized", "docstats", "runs"):
+        pids = sorted(os.listdir(f"{idx}/{sub}"))
+        assert pids == ["p00000.parquet", "p00001.parquet", "p00002.parquet"], sub
+    man = json.load(open(f"{idx}/build_manifest.json"))
+    assert sorted(man["partitions"]) == ["p00000", "p00001", "p00002"]
+
+    # removing a MIDDLE file shifts every later pid: stale records drop,
+    # shifted partitions rebuild, and n_docs matches a fresh build
+    middle = sorted(os.listdir(src))[1]
+    os.remove(os.path.join(src, middle))
+    stats_shift = build_index(src, idx, profile="simple")
+    fresh_idx = str(tmp_path / "fresh")
+    stats_fresh = build_index(src, fresh_idx, profile="simple")
+    assert stats_shift["n_docs"] == stats_fresh["n_docs"]
+    assert _dictionary(idx) == _dictionary(fresh_idx)
