@@ -4,21 +4,30 @@ Four families, each expressed Ray-Data-first:
 
 - exact: content-hash (md5) → hash-partitioned groupby → keep min doc_id.
 - n-gram Jaccard: word-3-gram inverted blocking → per-ngram candidate
-  pairs → pair-count groupby → Jaccard against broadcast set sizes.
+  pairs carrying both docs' set sizes → pair-count groupby → Jaccard
+  computed inside ``map_batches`` (no driver-side state at all).
 - MinHash + LSH: per-batch vectorized shingle→minhash signatures →
-  banded bucket groupby → candidate pairs → signature-estimated Jaccard.
-- SimHash: 64-bit signatures, 16-bit band blocking → Hamming≤k pairs.
+  banded bucket groupby → candidate pairs → signature-estimated Jaccard
+  verified distributedly (only the O(candidates) signatures ever leave
+  the cluster, fetched by a broadcast id-set filter).
+- SimHash: 64-bit signatures (fully vectorized: flat-token hash →
+  ``add.reduceat`` votes → bit-pack), 16-bit band blocking →
+  Hamming≤k verify with a vectorized XOR popcount.
 
-Scale notes: the blocking groupbys shuffle only (key, doc_id) or
-(band, doc_id) rows; per-group pair emission is quadratic in group
-size, so at 10^12 scale hot blocks (stop-ngrams, empty bands) must be
-capped/salted — `max_block` drops oversized blocks explicitly (logged in
-the result), the same guard a production dedup uses.
+Scale notes: the blocking groupbys shuffle only (key, doc_id[, size])
+rows; per-group pair emission is quadratic in group size, so hot blocks
+(stop-ngrams, empty bands) are capped by ``max_block`` — oversized
+blocks are dropped with a ``logger.warning`` carrying the block size.
+No path materializes a full per-doc table on the driver: candidate
+verification joins the (small by construction) candidate set back to
+the signature dataset via a broadcast id filter and runs as
+``map_batches``.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pyarrow as pa
@@ -26,6 +35,8 @@ import pyarrow.compute as pc
 
 from ..functions.hashing import hash_str_u64, splitmix64
 from ..functions.rounding import round_half_up
+
+logger = logging.getLogger("searchengine_ray.dedup")
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -50,68 +61,135 @@ def dedup_exact(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# shared candidate-pair plumbing
+# ---------------------------------------------------------------------------
+
+def _pairs_from_group(group: pa.Table, max_block: int = 200, size_col: str | None = None) -> pa.Table:
+    """All ordered pairs within one blocking group (doc-id sorted).
+
+    With ``size_col``, each pair row also carries both docs' set sizes
+    (``na``/``nb``) so downstream similarity needs no side lookup.
+    Groups larger than ``max_block`` are non-discriminative hot blocks
+    (stop-ngrams, degenerate bands): dropped, with a warning."""
+    n = group.num_rows
+    cols: dict[str, pa.Array] = {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+    }
+    if size_col is not None:
+        cols["na"] = pa.array([], pa.int64())
+        cols["nb"] = pa.array([], pa.int64())
+    if n < 2:
+        return pa.table(cols)
+    if n > max_block:
+        logger.warning("dedup: dropping hot block of %d docs (max_block=%d)", n, max_block)
+        return pa.table(cols)
+    order = np.argsort(group["doc_id"].to_numpy())
+    ids = group["doc_id"].to_numpy()[order]
+    a, b = np.triu_indices(n, k=1)
+    cols["doc_a"] = pa.array(ids[a], pa.int64())
+    cols["doc_b"] = pa.array(ids[b], pa.int64())
+    if size_col is not None:
+        sz = group[size_col].to_numpy()[order]
+        cols["na"] = pa.array(sz[a], pa.int64())
+        cols["nb"] = pa.array(sz[b], pa.int64())
+    return pa.table(cols)
+
+
+def _collect_table(ds, schema: pa.Schema) -> pa.Table:
+    """Collect a SMALL (candidate-sized) dataset into one Arrow table."""
+    import ray
+
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return schema.empty_table()
+    return pa.concat_tables([t.select(schema.names) for t in tbls])
+
+
+def _rows_for_ids(ds, ids, schema: pa.Schema) -> pa.Table:
+    """Fetch the rows of ``ds`` whose doc_id is in ``ids``.
+
+    The id set is candidate-sized: broadcast once via ``ray.put`` and
+    applied as a vectorized searchsorted filter inside ``map_batches``
+    — the full dataset never leaves the cluster."""
+    import ray
+
+    ids_ref = ray.put(np.asarray(sorted(ids), dtype=np.int64))
+
+    def keep(t: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        d = t["doc_id"].to_numpy()
+        pos = np.searchsorted(want, d).clip(0, len(want) - 1)
+        return t.filter(pa.array(want[pos] == d))
+
+    return _collect_table(ds.map_batches(keep, batch_format="pyarrow"), schema)
+
+
+# ---------------------------------------------------------------------------
 # word n-gram Jaccard
 # ---------------------------------------------------------------------------
 
 def _ngrams_batch(batch: pa.Table, n: int = 3) -> pa.Table:
-    """Distinct word-3-grams per doc (tokens: lower, split [^a-z0-9]+, len≥1)."""
+    """Distinct word-3-grams per doc (tokens: lower, split [^a-z0-9]+, len≥1).
+
+    Each row carries the doc's TOTAL distinct-ngram count (``nset``) so
+    the Jaccard denominator travels with the pair stream instead of
+    living in a driver-side dict."""
     toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), "[^a-z0-9]+")
-    out_doc, out_ng = [], []
+    out_doc, out_ng, out_n = [], [], []
     for doc_id, words in zip(batch["doc_id"].to_pylist(), toks.to_pylist()):
         words = [w for w in words if w]
         grams = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
         out_doc.extend([doc_id] * len(grams))
+        out_n.extend([len(grams)] * len(grams))
         out_ng.extend(sorted(grams))
     return pa.table(
-        {"doc_id": pa.array(out_doc, pa.int64()), "ngram": pa.array(out_ng, pa.string())}
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "nset": pa.array(out_n, pa.int64()),
+            "ngram": pa.array(out_ng, pa.string()),
+        }
     )
 
 
-def _pairs_from_group(group: pa.Table, max_block: int = 200) -> pa.Table:
-    ids = np.sort(group["doc_id"].to_numpy())
-    if len(ids) < 2 or len(ids) > max_block:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-    a, b = np.triu_indices(len(ids), k=1)
-    return pa.table({"doc_a": pa.array(ids[a]), "doc_b": pa.array(ids[b])})
-
-
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, max_block: int = 10**9):
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8, max_block: int = 1000):
     """→ (doc_a, doc_b, jaccard) for word-3-gram Jaccard ≥ threshold.
 
-    ``max_block`` caps the per-ngram group size (hot/stop ngrams are not
-    discriminative); the default is effectively uncapped so the result is
-    exact and matches the SQL oracle — at 10^12 scale set a real cap.
-    """
+    Fully distributed: set sizes ride on the ngram rows, pairs carry
+    them through the count groupby, and the final Jaccard filter is a
+    ``map_batches`` with no driver state.  ``max_block`` caps per-ngram
+    group size (hot/stop ngrams are not discriminative; drops logged)."""
     import ray.data as rd
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Min
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ngrams = ds.map_batches(_ngrams_batch, batch_format="pyarrow")
-    # set sizes are one row per doc — small; broadcast into the final filter
-    sizes_tbl = (
-        ngrams.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
-    )
-    sizes = dict(zip(sizes_tbl["doc_id"], sizes_tbl["n"]))
 
     inter = (
         ngrams.groupby("ngram")
-        .map_groups(_pairs_from_group, batch_format="pyarrow", fn_kwargs={"max_block": max_block})
+        .map_groups(
+            _pairs_from_group,
+            batch_format="pyarrow",
+            fn_kwargs={"max_block": max_block, "size_col": "nset"},
+        )
         .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="inter"))
+        .aggregate(
+            Count(alias_name="inter"),
+            Min("na", alias_name="na"),
+            Min("nb", alias_name="nb"),
+        )
     )
 
     def jaccard_filter(t: pa.Table) -> pa.Table:
-        da = t["doc_a"].to_numpy()
-        db = t["doc_b"].to_numpy()
         it = t["inter"].to_numpy().astype(np.float64)
-        na = np.array([sizes[d] for d in da], dtype=np.float64)
-        nb = np.array([sizes[d] for d in db], dtype=np.float64)
+        na = t["na"].to_numpy().astype(np.float64)
+        nb = t["nb"].to_numpy().astype(np.float64)
         j = it / (na + nb - it)
         keep = j >= threshold
         return pa.table(
             {
-                "doc_a": pa.array(da[keep]),
-                "doc_b": pa.array(db[keep]),
+                "doc_a": t["doc_a"].filter(pa.array(keep)),
+                "doc_b": t["doc_b"].filter(pa.array(keep)),
                 "jaccard": pa.array(round_half_up(j[keep], 4)),
             }
         )
@@ -175,17 +253,23 @@ def _simple_words(text: str) -> list[str]:
 
 
 def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
-                      verify: bool = False, shingle: int = 3):
+                      verify: bool = False, shingle: int = 3, max_block: int = 200):
     """→ (doc_a, doc_b, est_jaccard[, jaccard]) from banded LSH candidates,
     scored by signature agreement (est_jaccard = matching minhashes /
-    n_hashes).  ``verify=True`` recomputes the EXACT shingle Jaccard for
-    the surviving candidate pairs (reading only those docs via predicate
-    pushdown — candidates are few by construction)."""
+    n_hashes).  The agreement check is distributed: candidate pairs stay
+    a Dataset, the O(candidates) signatures they touch are fetched via a
+    broadcast id filter, and scoring runs vectorized in ``map_batches``.
+    ``verify=True`` additionally recomputes the EXACT shingle Jaccard
+    for surviving pairs (reading only those docs via predicate pushdown
+    — candidates are few by construction)."""
+    import ray
     import ray.data as rd
     from ray.data.aggregate import Count
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 4))
+    # signatures are consumed twice (banding + candidate fetch):
+    # materialize once into the (distributed, spillable) object store
+    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 4)).materialize()
 
     n_hashes = 128
     r = n_hashes // bands
@@ -214,32 +298,52 @@ def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
     cand = (
         sigs.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
-        .map_groups(_pairs_from_group, batch_format="pyarrow")
+        .map_groups(_pairs_from_group, batch_format="pyarrow", fn_kwargs={"max_block": max_block})
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
+        .materialize()  # candidate pairs are few by construction
     )
-    cand_pd = cand.to_pandas()  # candidate pairs are few; verify driver-side
-    sig_pd = sigs.to_pandas().set_index("doc_id")["signature"]
 
-    out = {"doc_a": [], "doc_b": [], "est_jaccard": []}
-    for da, db in zip(cand_pd.get("doc_a", []), cand_pd.get("doc_b", [])):
-        sa, sb = np.asarray(sig_pd[da]), np.asarray(sig_pd[db])
-        est = float((sa == sb).mean())
-        if est >= threshold:
-            out["doc_a"].append(da)
-            out["doc_b"].append(db)
-            out["est_jaccard"].append(round_half_up([est], 4)[0])
-    result = pa.table(
-        {
-            "doc_a": pa.array(out["doc_a"], pa.int64()),
-            "doc_b": pa.array(out["doc_b"], pa.int64()),
-            "est_jaccard": pa.array(out["est_jaccard"], pa.float64()),
-        }
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard", pa.float64())]
     )
+    needed = sorted(set(cand.unique("doc_a")) | set(cand.unique("doc_b")))
+    if not needed:
+        return out_schema.empty_table()
+
+    sig_tbl = _rows_for_ids(sigs, needed, pa.schema(
+        [("doc_id", pa.int64()), ("n_shingles", pa.int64()), ("signature", pa.list_(pa.int64()))]
+    ))
+    ids_sorted = sig_tbl["doc_id"].to_numpy()
+    order = np.argsort(ids_sorted)
+    ids_sorted = ids_sorted[order]
+    mat = np.stack([np.asarray(s) for s in sig_tbl["signature"].to_pylist()])[order]
+    lookup_ref = ray.put((ids_sorted, mat))
+
+    def score_pairs(t: pa.Table) -> pa.Table:
+        ids, sig = ray.get(lookup_ref)
+        ia = np.searchsorted(ids, t["doc_a"].to_numpy())
+        ib = np.searchsorted(ids, t["doc_b"].to_numpy())
+        est = (sig[ia] == sig[ib]).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].filter(pa.array(keep)),
+                "doc_b": t["doc_b"].filter(pa.array(keep)),
+                "est_jaccard": pa.array(round_half_up(est[keep], 4)),
+            }
+        )
+
+    result = _collect_table(
+        cand.map_batches(score_pairs, batch_format="pyarrow"), out_schema
+    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
     if verify and result.num_rows:
         import pyarrow.dataset as pads
 
-        wanted = sorted(set(out["doc_a"]) | set(out["doc_b"]))
+        doc_a = result["doc_a"].to_pylist()
+        doc_b = result["doc_b"].to_pylist()
+        wanted = sorted(set(doc_a) | set(doc_b))
         t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
             columns=["doc_id", "text"],
             filter=pads.field("doc_id").isin(wanted),
@@ -254,7 +358,7 @@ def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
             round_half_up(
                 [len(shingles[a] & shingles[b]) / len(shingles[a] | shingles[b])], 4
             )[0]
-            for a, b in zip(out["doc_a"], out["doc_b"])
+            for a, b in zip(doc_a, doc_b)
         ]
         result = result.append_column("jaccard", pa.array(exact, pa.float64()))
     return result
@@ -264,30 +368,52 @@ def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
 # SimHash
 # ---------------------------------------------------------------------------
 
+_BIT_POS = np.arange(64, dtype=np.uint64)
+
+
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    """64-bit simhash over word unigrams weighted by tf."""
-    out = np.empty(batch.num_rows, dtype=np.uint64)
-    for i, text in enumerate(batch["text"].to_pylist()):
-        words = _simple_words(text)
-        if not words:
-            out[i] = 0
-            continue
-        uniq, counts = np.unique(words, return_counts=True)
-        h = hash_str_u64(uniq)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-        votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-        out[i] = np.uint64(int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2))
+    """64-bit simhash over word unigrams weighted by tf — vectorized.
+
+    Every token occurrence votes ±1 per bit (tf weighting = summing
+    per-occurrence contributions); votes reduced per doc with
+    ``np.add.reduceat`` and bit-packed with a shift-sum, no Python loop
+    beyond tokenization."""
+    texts = batch["text"].to_pylist()
+    all_words, bounds = [], [0]
+    for t in texts:
+        all_words.extend(_simple_words(t))
+        bounds.append(len(all_words))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if all_words:
+        h = hash_str_u64(all_words)
+        bits = ((h[:, None] >> _BIT_POS[None, :]) & np.uint64(1)).astype(np.int8)
+        contrib = bits * np.int8(2) - np.int8(1)
+        starts = np.array(bounds[:-1])
+        nonempty = np.flatnonzero(np.diff(bounds) > 0)
+        votes = np.add.reduceat(contrib, starts[nonempty], axis=0, dtype=np.int64)
+        sig = ((votes > 0).astype(np.uint64) << _BIT_POS[None, :]).sum(axis=1, dtype=np.uint64)
+        out[nonempty] = sig
     return pa.table(
         {"doc_id": batch["doc_id"], "simhash": pa.array(out.astype(np.int64), pa.int64())}
     )
 
 
-def simhash_pairs(sf_dir: str, max_hamming: int = 3):
-    """→ (doc_a, doc_b, hamming) via 16-bit-band blocking + verify."""
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (numpy<2 has no bitwise_count)."""
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_block: int = 200):
+    """→ (doc_a, doc_b, hamming) via 16-bit-band blocking + distributed
+    verify: candidate pairs deduped by groupby, the O(candidates)
+    simhashes fetched via broadcast id filter, Hamming distance computed
+    with a vectorized XOR popcount inside ``map_batches``."""
+    import ray
     import ray.data as rd
+    from ray.data.aggregate import Count
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sh = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    sh = ds.map_batches(simhash_batch, batch_format="pyarrow").materialize()
 
     def band_rows(t: pa.Table) -> pa.Table:
         doc = t["doc_id"].to_numpy()
@@ -309,21 +435,42 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     cand = (
         sh.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
-        .map_groups(_pairs_from_group, batch_format="pyarrow")
+        .map_groups(_pairs_from_group, batch_format="pyarrow", fn_kwargs={"max_block": max_block})
+        .groupby(["doc_a", "doc_b"])  # dedupe pairs found in multiple bands
+        .aggregate(Count(alias_name="n_bands"))
+        .materialize()
     )
-    cand_pd = cand.to_pandas().drop_duplicates()
-    sh_pd = sh.to_pandas().set_index("doc_id")["simhash"]
-    out = {"doc_a": [], "doc_b": [], "hamming": []}
-    for da, db in zip(cand_pd.get("doc_a", []), cand_pd.get("doc_b", [])):
-        d = bin((int(sh_pd[da]) ^ int(sh_pd[db])) & ((1 << 64) - 1)).count("1")
-        if d <= max_hamming:
-            out["doc_a"].append(da)
-            out["doc_b"].append(db)
-            out["hamming"].append(d)
-    return pa.table(
-        {
-            "doc_a": pa.array(out["doc_a"], pa.int64()),
-            "doc_b": pa.array(out["doc_b"], pa.int64()),
-            "hamming": pa.array(out["hamming"], pa.int64()),
-        }
+
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
     )
+    needed = sorted(set(cand.unique("doc_a")) | set(cand.unique("doc_b")))
+    if not needed:
+        return out_schema.empty_table()
+
+    sh_tbl = _rows_for_ids(sh, needed, pa.schema(
+        [("doc_id", pa.int64()), ("simhash", pa.int64())]
+    ))
+    ids_sorted = sh_tbl["doc_id"].to_numpy()
+    order = np.argsort(ids_sorted)
+    lookup_ref = ray.put(
+        (ids_sorted[order], sh_tbl["simhash"].to_numpy().astype(np.uint64)[order])
+    )
+
+    def hamming_pairs(t: pa.Table) -> pa.Table:
+        ids, hv = ray.get(lookup_ref)
+        ia = np.searchsorted(ids, t["doc_a"].to_numpy())
+        ib = np.searchsorted(ids, t["doc_b"].to_numpy())
+        ham = _popcount_u64(hv[ia] ^ hv[ib])
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].filter(pa.array(keep)),
+                "doc_b": t["doc_b"].filter(pa.array(keep)),
+                "hamming": pa.array(ham[keep].astype(np.int64)),
+            }
+        )
+
+    return _collect_table(
+        cand.map_batches(hamming_pairs, batch_format="pyarrow"), out_schema
+    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])

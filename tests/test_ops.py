@@ -74,6 +74,29 @@ def test_ngram_jaccard_finds_planted(planted_dir):
     assert float(exact.jaccard.iloc[0]) == 1.0
 
 
+def test_dedup_verify_is_distributed(planted_dir, monkeypatch):
+    """Regression (round-2 VERDICT): the MinHash/SimHash candidate-verify
+    steps must not materialize full per-doc tables on the driver — with
+    Dataset.to_pandas forbidden the pipelines still produce their pairs
+    via map_batches + broadcast-id joins."""
+    import ray.data
+
+    def _boom(self, *a, **k):
+        raise AssertionError("Dataset.to_pandas() called inside a dedup pipeline")
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", _boom)
+    mh = dedup.minhash_lsh_pairs(planted_dir, threshold=0.5, verify=True)
+    assert (1, 2) in set(zip(mh["doc_a"].to_pylist(), mh["doc_b"].to_pylist()))
+    sh = dedup.simhash_pairs(planted_dir, max_hamming=3)
+    assert (1, 2) in set(zip(sh["doc_a"].to_pylist(), sh["doc_b"].to_pylist()))
+    ng = dedup.ngram_jaccard_pairs(planted_dir, threshold=0.5)
+    got = pa.concat_tables(
+        [b for b in ng.iter_batches(batch_format="pyarrow")]
+        or [pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]).empty_table()]
+    )
+    assert (1, 2) in set(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+
+
 def test_fingerprint_deterministic_and_dup_sensitive(planted_dir):
     a = analysis.fingerprints(planted_dir).to_pandas().set_index("doc_id").fingerprint
     b = analysis.fingerprints(planted_dir).to_pandas().set_index("doc_id").fingerprint
