@@ -201,39 +201,57 @@ def build_index(
         ).write_parquet(runs_dir)
         manifest.mark_stage("runs", {"n_ranges": n_ranges})
 
-    # ---- stage: rangemap (per-range sorted doc-id lists for dense ids) --
+    # ---- stage: rangemap + docmap ---------------------------------------
+    # One pass over docstats builds BOTH dense-id artifacts: the per-range
+    # sorted id lists (rangemap — the merge stage's hash→dense translation)
+    # and the doc_id-sorted serving table (docmap — one file per range,
+    # small row groups, so query-time doc lookups read only the row groups
+    # holding the final top-k ranks instead of the whole forward table).
     rangemap_dir = os.path.join(index_dir, "rangemap")
+    docmap_dir = os.path.join(index_dir, "docmap")
     offsets_path = os.path.join(index_dir, "range_offsets.json")
     if not manifest.stage_done("rangemap"):
         from ..functions.codec import varbyte_encode
+        from ..state.index_store import DOCMAP_ROW_GROUP
 
         shift = 63 - int(np.log2(n_ranges)) if n_ranges > 1 else 63
 
         def to_range_rows(t: pa.Table) -> pa.Table:
             ids = t["doc_id"].to_numpy()
-            return pa.table(
-                {
-                    "range": pa.array((ids >> shift).astype(np.int32), pa.int32()),
-                    "doc_id": pa.array(ids, pa.int64()),
-                }
+            return t.append_column(
+                "range", pa.array((ids >> shift).astype(np.int32), pa.int32())
             )
 
         def encode_range(g: pa.Table) -> pa.Table:
-            ids = np.sort(g["doc_id"].to_numpy())
+            rng = int(g["range"][0].as_py())
+            order = np.argsort(g["doc_id"].to_numpy())
+            g = g.take(pa.array(order))
+            ids = g["doc_id"].to_numpy()
             deltas = np.empty(len(ids), dtype=np.uint64)
             deltas[0] = ids[0]
             deltas[1:] = np.diff(ids).astype(np.uint64)
+            # docmap side output while the sorted table is hot: serving
+            # rows in dense-rank order, rank column carried for row-group
+            # pruned point reads
+            dm = g.drop_columns(["range"]).append_column(
+                "rank", pa.array(np.arange(len(ids), dtype=np.int64))
+            )
+            dest = os.path.join(docmap_dir, f"r{rng:04d}.parquet")
+            pq.write_table(dm, dest + ".tmp", row_group_size=DOCMAP_ROW_GROUP)
+            os.replace(dest + ".tmp", dest)
             return pa.table(
                 {
-                    "range": pa.array([int(g["range"][0].as_py())], pa.int32()),
+                    "range": pa.array([rng], pa.int32()),
                     "n": pa.array([len(ids)], pa.int64()),
                     "ids_blob": pa.array([varbyte_encode(deltas).tobytes()], pa.large_binary()),
                 }
             )
 
         shutil.rmtree(rangemap_dir, ignore_errors=True)
+        shutil.rmtree(docmap_dir, ignore_errors=True)
+        os.makedirs(docmap_dir, exist_ok=True)
         (
-            rd.read_parquet(os.path.join(index_dir, "docstats"), columns=["doc_id"])
+            rd.read_parquet(os.path.join(index_dir, "docstats"))
             .map_batches(to_range_rows, batch_format="pyarrow")
             .groupby("range")
             .map_groups(encode_range, batch_format="pyarrow")
@@ -246,13 +264,18 @@ def build_index(
             f"SELECT range, n FROM read_parquet('{rangemap_dir}/*.parquet') ORDER BY range"
         ).fetchall()
         con.close()
-        offsets = [0] * n_ranges
+        counts = dict(rows)
+        offsets = []
         acc = 0
-        for rng_id, n in rows:
-            offsets[rng_id] = acc
-            acc += n
+        for rng_id in range(n_ranges):
+            offsets.append(acc)
+            acc += counts.get(rng_id, 0)
         with open(offsets_path + ".tmp", "w") as f:
-            json.dump({"offsets": offsets, "n_ranges": n_ranges}, f)
+            json.dump(
+                {"offsets": offsets, "n_ranges": n_ranges,
+                 "docmap_row_group": DOCMAP_ROW_GROUP},
+                f,
+            )
         os.replace(offsets_path + ".tmp", offsets_path)
         manifest.mark_stage("rangemap", {"n_ranges": n_ranges})
     with open(offsets_path) as f:

@@ -92,7 +92,10 @@ class QueryEngine:
         q = self.parse_query(query, expander=expander)
         if not q:
             return _empty_result()
-        if method == "wand" and k is not None and role is None:
+        # wand requires k (θ needs a target), no post-hoc candidate drop
+        # (role), and a profile without the cosine term (its Σw² factor
+        # is not covered by the per-term upper bounds)
+        if method == "wand" and k is not None and role is None and not self.profile.w_cosine:
             ids, scores = self._score_wand(q, k)
         else:
             ids, scores = self._score_exact(q)
@@ -108,7 +111,7 @@ class QueryEngine:
     def _fetch_postings(self, terms: list[str]) -> dict:
         """Fetch/decode postings for all query terms; cold terms in
         parallel threads (parquet reads release the GIL)."""
-        cold = [t for t in terms if t not in self.reader._chunk_cache]
+        cold = [t for t in terms if not self.reader._term_cis.get(t)]
         if len(cold) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -168,13 +171,17 @@ class QueryEngine:
            chunk-level ``max_ntf`` yields a valid per-posting bound).
         2. After processing a prefix of terms, any document not yet seen
            can score at most the sum of the remaining terms' bounds
-           ``R``.  Once ``R < θ`` (current k-th best partial score — a
-           lower bound on the final k-th score, since contributions are
-           non-negative), the remaining (typically high-df head) terms
-           are applied only to the existing candidates, skipping any
-           chunk whose [doc_min, doc_max] range contains none of them.
-        3. Candidate scores are exact at the end, so ordering matches
-           the exact path bit-for-bit.
+           ``R``.  The candidate set closes only once ``R`` is below θ
+           (current k-th best partial score — a lower bound on the final
+           k-th score, since contributions are non-negative) by MORE
+           than one rounding step of the final rank order: ranking
+           rounds scores to RANK_DECIMALS before the (conv, turn)
+           tie-break, and round() is monotone with grid 10^-d, so a
+           pruned doc with exact score < θ - 10^-d rounds strictly below
+           the k-th rounded score and can never win a tie.
+        3. Surviving candidates are re-scored exactly (same summation
+           order as the exact path), so within the returned top-k the
+           ordering matches the exact path.
         """
         p = self.profile
         n, avgdl = self.reader.n_docs, self.reader.avgdl
@@ -200,7 +207,10 @@ class QueryEngine:
             remaining = sum(ubs[t2] for t2 in terms_sorted[i:])
             if not closed and len(cand) >= k:
                 theta = np.partition(p.w_bm25 * bm25 + p.w_inner * inner, -k)[-k]
-                if remaining < theta - 1e-12:
+                # full 10^-RANK_DECIMALS margin: guarantees a pruned
+                # doc's ROUNDED score is strictly below the k-th rounded
+                # score, so rounded-score tie-breaks cannot flip
+                if remaining < theta - (10.0 ** -RANK_DECIMALS + 1e-12):
                     closed = True
             if closed:
                 # block-max skip: only chunks overlapping current candidates
@@ -255,11 +265,10 @@ class QueryEngine:
     # ------------------------------------------------------------------
     def _rank(self, ids: np.ndarray, scores: np.ndarray, k: int | None,
               role: str | None = None) -> pa.Table:
-        dm = self.reader.docmap()
         rounded = round_half_up(scores, RANK_DECIMALS)
         if role is not None:
             pos_all = self.reader.doc_positions(ids)
-            keep = dm["role"][pos_all] == role
+            keep = self.reader.roles(pos_all) == role
             ids, scores, rounded = ids[keep], scores[keep], rounded[keep]
         n = len(ids)
         if k is None:
@@ -274,8 +283,10 @@ class QueryEngine:
         else:
             sel = np.arange(n)
         pos = self.reader.doc_positions(ids[sel])
-        conv = dm["conv_id"][pos]
-        turn = dm["turn_idx"][pos]
+        # point read: only the row groups holding these ranks are touched
+        rows = self.reader.doc_rows(pos, columns=("conv_id", "turn_idx"))
+        conv = rows["conv_id"]
+        turn = rows["turn_idx"]
         order = np.lexsort((turn, conv, -rounded[sel]))[:k]
         return pa.table(
             {

@@ -10,9 +10,11 @@ table, reference ``indexer.py:47-48``) are loaded lazily and kept as
 doc_id-sorted arrays for binary-search candidate lookup.
 
 Scale note (10^12 turns): the dictionary itself would be sharded by the
-same crc32 partitioner and memoized per query-serving actor; docstats
-lookups would read only the doc_id ranges of the final top-k, which is
-what the sorted layout here already models.
+same crc32 partitioner and memoized per query-serving actor.  Doc
+lookups for the final top-k go through ``doc_rows`` — point reads of
+the dense-rank-sorted ``docmap`` artifact that touch only the row
+groups holding the requested ranks (O(k) rows, not O(N)); the full
+``docmap()`` load remains only as the legacy/whole-corpus-export path.
 """
 
 from __future__ import annotations
@@ -22,9 +24,15 @@ import os
 
 import numpy as np
 import pyarrow.dataset as pads
+import pyarrow.parquet as pq
 
 from ..functions.codec import decode_postings
 from ..functions.hashing import term_shard
+
+# docmap files are written with small row groups so a top-k lookup reads
+# ~k/DOCMAP_ROW_GROUP groups; build.py stamps the value actually used
+# into range_offsets.json
+DOCMAP_ROW_GROUP = 4096
 
 
 class IndexReader:
@@ -50,9 +58,19 @@ class IndexReader:
         )
         self._docmap = None
         self._doc_weights = None
+        self._dm_info = "unset"
+        self._dm_files: dict[int, pq.ParquetFile] = {}
+        self._role_col = None
+        self.stats = {"docmap_rows_read": 0, "chunks_decoded": 0}
+        import threading
         from collections import OrderedDict
 
+        # LRU of decoded chunks keyed (term, chunk_idx) — chunk-granular
+        # so a WAND block-max skip neither scans nor decodes skipped
+        # chunks; guarded by a lock (query threads share the reader)
         self._chunk_cache: OrderedDict = OrderedDict()
+        self._term_cis: dict[str, set] = {}
+        self._cache_lock = threading.Lock()
         self._meta_cache: dict[str, dict] = {}
         self._cache_postings = 0
         self.cache_max_postings = 20_000_000  # ~decoded entries held per reader
@@ -89,37 +107,75 @@ class IndexReader:
         """Decoded postings for a term → (ids, tfs, lens) in doc_id order;
         optionally restricted to a set of chunk indices.
 
-        Decoded chunks are LRU-cached (the rebuild of Part A's single-
-        bucket-file cache, ``Part A/searcher.py:53-61``): repeated query
-        terms skip both the parquet scan and the varbyte decode."""
+        Chunk-granular: when ``chunk_ids`` is given (WAND block-max
+        skipping), only the missing chunks are scanned — the chunk_idx
+        predicate is pushed into the parquet scan — and only those are
+        varbyte-decoded.  Decoded chunks are LRU-cached per (term, chunk)
+        (the rebuild of Part A's single-bucket-file cache,
+        ``Part A/searcher.py:53-61``), behind a lock since query threads
+        share the reader."""
         if term not in self._dict:
             return None
-        chunks = self._chunk_cache.get(term)
-        if chunks is None:
-            tbl = self._term_chunks(term, columns=["chunk_idx", "run"])
-            raw = sorted(zip(tbl["chunk_idx"].to_pylist(), tbl["run"].to_pylist()))
-            chunks = [(ci, decode_postings(run)) for ci, run in raw]
-            self._cache_put(term, chunks)
-        parts = [p for ci, p in chunks if chunk_ids is None or ci in chunk_ids]
+        with self._cache_lock:
+            have = {
+                ci: self._chunk_cache[(term, ci)]
+                for ci in self._term_cis.get(term, ())
+            }
+            for ci in have:
+                self._chunk_cache.move_to_end((term, ci))
+        extra = None
+        scan = True
+        if chunk_ids is None:
+            if have:
+                extra = ~pads.field("chunk_idx").isin(list(have))
+        else:
+            missing = [ci for ci in chunk_ids if ci not in have]
+            if missing:
+                extra = pads.field("chunk_idx").isin(missing)
+            else:
+                scan = False
+        decoded = {}
+        if scan:
+            tbl = self._term_chunks(term, columns=["chunk_idx", "run"], extra_filter=extra)
+            decoded = {
+                int(ci): decode_postings(run)
+                for ci, run in zip(tbl["chunk_idx"].to_pylist(), tbl["run"].to_pylist())
+            }
+            self.stats["chunks_decoded"] += len(decoded)
+            with self._cache_lock:
+                for ci, p in decoded.items():
+                    self._cache_put(term, ci, p)
+        merged = {**have, **decoded}
+        cis = sorted(merged) if chunk_ids is None else sorted(
+            ci for ci in merged if ci in set(chunk_ids)
+        )
+        parts = [merged[ci] for ci in cis]
         if not parts:
             return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
         if len(parts) == 1:
             return parts[0]
         return tuple(np.concatenate([p[j] for p in parts]) for j in range(3))
 
-    def _cache_put(self, term: str, chunks) -> None:
-        self._chunk_cache[term] = chunks
-        self._cache_postings += sum(len(p[0]) for _, p in chunks)
+    def _cache_put(self, term: str, ci: int, part) -> None:
+        # caller holds _cache_lock
+        key = (term, ci)
+        if key in self._chunk_cache:
+            self._chunk_cache.move_to_end(key)
+            return
+        self._chunk_cache[key] = part
+        self._term_cis.setdefault(term, set()).add(ci)
+        self._cache_postings += len(part[0])
         while self._cache_postings > self.cache_max_postings and self._chunk_cache:
-            _, old = self._chunk_cache.popitem(last=False)
-            self._cache_postings -= sum(len(p[0]) for _, p in old)
+            (t2, c2), old = self._chunk_cache.popitem(last=False)
+            self._cache_postings -= len(old[0])
+            self._term_cis[t2].discard(c2)
 
-    def _term_chunks(self, term: str, columns):
+    def _term_chunks(self, term: str, columns, extra_filter=None):
         shard = self._dict[term][2] if term in self._dict else int(term_shard([term], self.n_shards)[0])
-        return self._postings_ds.to_table(
-            columns=columns,
-            filter=(pads.field("shard") == shard) & (pads.field("term") == term),
-        )
+        flt = (pads.field("shard") == shard) & (pads.field("term") == term)
+        if extra_filter is not None:
+            flt = flt & extra_filter
+        return self._postings_ds.to_table(columns=columns, filter=flt)
 
     # -- doc map / stats -------------------------------------------------
     def doc_positions(self, ids) -> np.ndarray:
@@ -130,6 +186,85 @@ class IndexReader:
         if self.meta.get("dense_ids"):
             return np.asarray(ids, dtype=np.int64)
         return np.searchsorted(self.docmap()["doc_id"], ids)
+
+    def _docmap_info(self):
+        """(range-start offsets array, row-group size) for the docmap
+        point-read path, or None when this index predates the artifact."""
+        if self._dm_info == "unset":
+            self._dm_info = None
+            path = os.path.join(self.index_dir, "range_offsets.json")
+            if os.path.isdir(os.path.join(self.index_dir, "docmap")) and os.path.exists(path):
+                with open(path) as f:
+                    payload = json.load(f)
+                rg = payload.get("docmap_row_group")
+                if rg:
+                    self._dm_info = (np.asarray(payload["offsets"], np.int64), int(rg))
+        return self._dm_info
+
+    def _docmap_file(self, rng: int) -> pq.ParquetFile:
+        pf = self._dm_files.get(rng)
+        if pf is None:
+            pf = pq.ParquetFile(
+                os.path.join(self.index_dir, "docmap", f"r{rng:04d}.parquet")
+            )
+            self._dm_files[rng] = pf
+        return pf
+
+    def doc_rows(self, positions, columns=("conv_id", "turn_idx")) -> dict[str, np.ndarray]:
+        """Serving rows for the given dense ranks — a point read that
+        touches only the row groups containing those ranks (O(k) rows),
+        not the whole forward table.  Falls back to the in-memory docmap
+        for legacy (non-dense / pre-docmap) indexes."""
+        pos = np.asarray(positions, dtype=np.int64)
+        info = self._docmap_info()
+        if info is None or not self.meta.get("dense_ids"):
+            dm = self.docmap()
+            return {c: dm[c][pos] for c in columns}
+        offsets, rg_size = info
+        out: dict[str, np.ndarray] = {
+            c: np.empty(len(pos), dtype=object) for c in columns
+        }
+        rngs = np.searchsorted(offsets, pos, side="right") - 1
+        local = pos - offsets[rngs]
+        for rng in np.unique(rngs):
+            m = rngs == rng
+            loc = local[m]
+            pf = self._docmap_file(int(rng))
+            grp = loc // rg_size
+            need = np.unique(grp)
+            tbl = pf.read_row_groups(need.tolist(), columns=list(columns))
+            self.stats["docmap_rows_read"] += tbl.num_rows
+            # row index inside the concatenation of the selected groups
+            sizes = np.array([pf.metadata.row_group(int(g)).num_rows for g in need])
+            base = np.concatenate([[0], np.cumsum(sizes[:-1])])
+            rows = base[np.searchsorted(need, grp)] + (loc - grp * rg_size)
+            for c in columns:
+                out[c][np.flatnonzero(m)] = tbl[c].to_numpy(zero_copy_only=False)[rows]
+        # restore native dtypes (object arrays only exist for the gather)
+        for c in columns:
+            if len(out[c]) and not isinstance(out[c][0], str):
+                out[c] = out[c].astype(np.int64)
+        return out
+
+    def roles(self, positions) -> np.ndarray:
+        """Role labels for candidate positions.  A single lazily-loaded
+        column in dense order (not the full forward table); at extreme
+        scale this becomes a partition-level predicate instead."""
+        info = self._docmap_info()
+        if info is None or not self.meta.get("dense_ids"):
+            return self.docmap()["role"][np.asarray(positions, np.int64)]
+        if self._role_col is None:
+            files = sorted(
+                os.listdir(os.path.join(self.index_dir, "docmap"))
+            )
+            parts = [
+                pq.read_table(
+                    os.path.join(self.index_dir, "docmap", f), columns=["role"]
+                )["role"].to_numpy(zero_copy_only=False)
+                for f in files
+            ]
+            self._role_col = np.concatenate(parts) if parts else np.empty(0, object)
+        return self._role_col[np.asarray(positions, np.int64)]
 
     def docmap(self):
         """doc_id-sorted arrays: (doc_id, conv_id, turn_idx, doc_len, max_tf, n_curses)."""

@@ -78,6 +78,28 @@ def test_role_filter(built):
         assert roles[(c, t)] == "assistant"
 
 
+def test_docmap_point_reads(tmp_path, monkeypatch):
+    """Regression (round-2 VERDICT): serving a query must touch O(k)
+    docmap rows (row-group point reads), not load the whole forward
+    table — and produce exactly the same results as the legacy path."""
+    from searchengine_ray.state import index_store
+
+    monkeypatch.setattr(index_store, "DOCMAP_ROW_GROUP", 32)
+    src, idx = str(tmp_path / "corpus"), str(tmp_path / "index")
+    write_synth_transcripts(src, n_files=2, n_convs=40, turns_per_conv=8, seed=5)
+    stats = build_index(src, idx, profile="simple", n_ranges=1)
+    qe = QueryEngine(idx)
+    res = qe.search(QUERIES[0], k=3)
+    assert res.num_rows == 3
+    read = qe.reader.stats["docmap_rows_read"]
+    assert 0 < read < stats["n_docs"] / 2, (read, stats["n_docs"])
+
+    legacy = QueryEngine(idx)
+    legacy.reader._dm_info = None  # force the full-docmap fallback
+    assert res.equals(legacy.search(QUERIES[0], k=3))
+    assert legacy.reader.stats["docmap_rows_read"] == 0
+
+
 def test_scores_against_bruteforce(built):
     """Exact path == brute-force recomputation from the raw corpus."""
     src, idx, _ = built
