@@ -125,42 +125,68 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 
 
 class FingerprintStage:
-    """Document fingerprinting: Rabin-Karp rolling hash over the utf8
-    bytes; fingerprint = min hash over all 16-byte windows (winnowing's
-    document-level reduction).  Stateful (precomputed power table) —
-    one instance per actor."""
+    """Document fingerprinting: polynomial rolling hash (mod 2^64, FNV
+    base) over the utf8 bytes, splitmix64-finalized per window;
+    fingerprint = min over all 16-byte windows (winnowing's
+    document-level reduction).  Fully vectorized across the WHOLE batch:
+    one concatenated byte array, 16 shifted multiply-adds for every
+    window hash at once, cross-document windows masked to MAX, then a
+    per-doc ``np.minimum.reduceat``."""
 
     WINDOW = 16
-    MOD = (1 << 61) - 1
-    BASE = 257
+    BASE = 0x100000001B3  # FNV-1a prime; odd, so invertible mod 2^64
 
-    def __init__(self):
-        self.pow_w = pow(self.BASE, self.WINDOW, self.MOD)
+    def _short_hash(self, data: bytes) -> int:
+        """Docs shorter than one window: polynomial of the whole doc."""
+        from ..functions.hashing import splitmix64
 
-    def _fingerprint(self, data: bytes) -> int:
-        if not data:
-            return 0
-        if len(data) <= self.WINDOW:
-            h = 0
+        h = np.uint64(0)
+        with np.errstate(over="ignore"):
             for b in data:
-                h = (h * self.BASE + b) % self.MOD
-            return h
-        h = 0
-        for b in data[: self.WINDOW]:
-            h = (h * self.BASE + b) % self.MOD
-        best = h
-        for i in range(self.WINDOW, len(data)):
-            h = (h * self.BASE + data[i] - self.pow_w * data[i - self.WINDOW]) % self.MOD
-            if h < best:
-                best = h
-        return best
+                h = h * np.uint64(self.BASE) + np.uint64(b)
+        return int(splitmix64(np.array([h]))[0]) if data else 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [self._fingerprint(t.encode("utf-8")) for t in batch["text"].to_pylist()]
+        from ..functions.hashing import splitmix64
+
+        texts = [t.encode("utf-8") for t in batch["text"].to_pylist()]
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        data = np.frombuffer(b"".join(texts), dtype=np.uint8).astype(np.uint64)
+        W, n = self.WINDOW, len(data)
+        n_docs = len(texts)
+        out = np.zeros(n_docs, dtype=np.uint64)
+        n_win = n - W + 1
+        if n_win > 0:
+            # Horner form, in place: H = ((b0·B + b1)·B + b2)·B ... — no
+            # temporaries, 15 fused scalar-mul + adds over the batch
+            H = data[0:n_win].copy()
+            B = np.uint64(self.BASE)
+            with np.errstate(over="ignore"):
+                for j in range(1, W):
+                    H *= B
+                    H += data[j : n_win + j]
+            H = splitmix64(H)
+            # windows that straddle a document boundary are not valid
+            # fingerprint windows: mask to MAX so they never win the min
+            MAX = np.iinfo(np.uint64).max
+            bounds = offs[1:-1]
+            for j in range(1, W):
+                idx = bounds - j
+                ok = (idx >= 0) & (idx < n_win)
+                H[idx[ok]] = MAX
+            long_mask = lens >= W
+            if long_mask.any():
+                starts = np.minimum(offs[:-1], n_win - 1)
+                mins = np.minimum.reduceat(H, starts)
+                out[long_mask] = mins[long_mask]
+        short = np.flatnonzero(lens < W)
+        for i in short:
+            out[i] = self._short_hash(texts[i])
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "fingerprint": pa.array(fps, pa.int64() if max(fps, default=0) < 2**63 else pa.uint64()),
+                "fingerprint": pa.array(out.view(np.int64), pa.int64()),
             }
         )
 
