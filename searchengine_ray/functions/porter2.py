@@ -1,0 +1,221 @@
+"""Porter2 (Snowball English) stemmer — pure-Python implementation of
+the published algorithm (snowballstem.org/algorithms/english/stemmer.html).
+
+Replaces the round-1 ``_SnowballLite`` stand-in so the
+``reference_stem`` profile applies the same algorithm family the
+reference uses via NLTK (``Part C/stemmer.py:4-14``), without the NLTK
+dependency.  R1/R2 are kept as fixed character indices (suffix edits
+only touch the tail, so region starts computed once stay valid — the
+standard Snowball implementation technique).
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiouy")
+_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_VALID_LI = frozenset("cdeghkmnrt")
+
+_EXCEPTIONS1 = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_EXCEPTIONS2 = frozenset(
+    ("inning", "outing", "canning", "herring", "earring",
+     "proceed", "exceed", "succeed")
+)
+
+_STEP2 = (
+    ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+    ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+    ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+    ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+    ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"),
+    ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+    ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+    ("bli", "ble"), ("ogi", None), ("li", None),
+)
+_STEP3 = (
+    ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+    ("icate", "ic"), ("iciti", "ic"), ("ative", ""),
+    ("ical", "ic"), ("ness", ""), ("ful", ""),
+)
+_STEP4 = (
+    "ement", "ance", "ence", "able", "ible", "ment",
+    "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+    "ion", "al", "er", "ic",
+)
+
+
+def _is_vowel(ch: str) -> bool:
+    return ch in _VOWELS  # Y (marked consonant y) is uppercase → False
+
+
+def _regions(word: str) -> tuple[int, int]:
+    """(R1 start, R2 start) as character indices."""
+    n = len(word)
+    r1 = n
+    for pre in ("gener", "commun", "arsen"):
+        if word.startswith(pre):
+            r1 = len(pre)
+            break
+    else:
+        for i in range(1, n):
+            if not _is_vowel(word[i]) and _is_vowel(word[i - 1]):
+                r1 = i + 1
+                break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if not _is_vowel(word[i]) and _is_vowel(word[i - 1]):
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _ends_short_syllable(word: str) -> bool:
+    """True if the word ends in a short syllable: vowel + non-vowel
+    (other than w/x/Y) preceded by a non-vowel; or, at the start of the
+    word, vowel + non-vowel."""
+    n = len(word)
+    if n == 2:
+        return _is_vowel(word[0]) and not _is_vowel(word[1])
+    if n >= 3:
+        a, b, c = word[-3], word[-2], word[-1]
+        return (
+            not _is_vowel(a)
+            and _is_vowel(b)
+            and not _is_vowel(c)
+            and c not in "wxY"
+        )
+    return False
+
+
+def _contains_vowel(part: str) -> bool:
+    return any(_is_vowel(ch) for ch in part)
+
+
+def stem(word: str) -> str:
+    """Porter2 stem of ``word`` (lowercased)."""
+    word = word.lower()
+    if len(word) <= 2:
+        return word
+    if word.startswith("'"):
+        word = word[1:]
+    if word in _EXCEPTIONS1:
+        return _EXCEPTIONS1[word]
+    if len(word) <= 2:
+        return word
+    # mark consonant-y as Y: initial y, or y following a vowel
+    if word[0] == "y":
+        word = "Y" + word[1:]
+    chars = list(word)
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and _is_vowel(chars[i - 1]):
+            chars[i] = "Y"
+    word = "".join(chars)
+
+    r1, r2 = _regions(word)
+
+    # step 0: strip 's / ' / 's'
+    for suf in ("'s'", "'s", "'"):
+        if word.endswith(suf):
+            word = word[: -len(suf)]
+            break
+
+    # step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith("ied") or word.endswith("ies"):
+        word = word[:-2] if len(word) > 4 else word[:-1]
+    elif word.endswith("s") and not word.endswith(("us", "ss")):
+        if _contains_vowel(word[:-2]):
+            word = word[:-1]
+
+    if word in _EXCEPTIONS2:
+        return word
+
+    # step 1b
+    if word.endswith("eedly"):
+        if len(word) - 5 >= r1:
+            word = word[:-3]
+    elif word.endswith("eed"):
+        if len(word) - 3 >= r1:
+            word = word[:-1]
+    else:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if word.endswith(suf):
+                stem_part = word[: -len(suf)]
+                if _contains_vowel(stem_part):
+                    word = stem_part
+                    if word.endswith(("at", "bl", "iz")):
+                        word += "e"
+                    elif word.endswith(_DOUBLES):
+                        word = word[:-1]
+                    elif r1 >= len(word) and _ends_short_syllable(word):
+                        word += "e"  # word is short: R1 null + short syllable
+                break
+
+    # step 1c: y→i after a non-vowel that is not the first letter
+    if (
+        len(word) > 2
+        and word[-1] in "yY"
+        and not _is_vowel(word[-2])
+    ):
+        word = word[:-1] + "i"
+
+    # step 2 (longest suffix, must lie in R1)
+    for suf, rep in _STEP2:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                if suf == "ogi":
+                    if word.endswith("logi"):
+                        word = word[:-1]
+                elif suf == "li":
+                    if len(word) >= 3 and word[-3] in _VALID_LI:
+                        word = word[:-2]
+                else:
+                    word = word[: -len(suf)] + rep
+            break
+
+    # step 3 (in R1; 'ative' additionally requires R2)
+    for suf, rep in _STEP3:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                if suf == "ative":
+                    if len(word) - 5 >= r2:
+                        word = word[:-5]
+                else:
+                    word = word[: -len(suf)] + rep
+            break
+
+    # step 4 (in R2)
+    for suf in _STEP4:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r2:
+                if suf == "ion":
+                    if len(word) >= 4 and word[-4] in "st":
+                        word = word[:-3]
+                else:
+                    word = word[: -len(suf)]
+            break
+
+    # step 5
+    if word.endswith("e"):
+        if len(word) - 1 >= r2 or (
+            len(word) - 1 >= r1 and not _ends_short_syllable(word[:-1])
+        ):
+            word = word[:-1]
+    elif word.endswith("l"):
+        if len(word) - 1 >= r2 and len(word) >= 2 and word[-2] == "l":
+            word = word[:-1]
+
+    return word.replace("Y", "y")
+
+
+class Porter2Stemmer:
+    """Callable-object wrapper matching the previous stemmer interface."""
+
+    def stem(self, w: str) -> str:
+        return stem(w)

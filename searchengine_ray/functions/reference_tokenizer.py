@@ -78,7 +78,12 @@ class ReferenceTokenizer:
         self.re_hashtag_parts = re.compile(r"[a-zA-Z][^A-Z_]*")
         self.re_entity_word = re.compile(r"[A-Z][A-Za-z’'-]*")
         self.re_dots = re.compile(r"[…]+")
-        self._stemmer = _SnowballLite() if stemming else None
+        if stemming:
+            from .porter2 import Porter2Stemmer
+
+            self._stemmer = Porter2Stemmer()
+        else:
+            self._stemmer = None
 
     # ------------------------------------------------------------------
     def parse_sentence(self, text) -> tuple[dict[str, int], set[str]]:
@@ -276,17 +281,6 @@ class ReferenceTokenizer:
                 out.append(w)
 
 
-class _SnowballLite:
-    """Minimal English suffix stripper standing in for the Snowball
-    stemmer (reference ``Part C/stemmer.py:4-14``; nltk unavailable
-    here).  Deterministic and shared with the mini-reference oracle, so
-    identity tests are exact; NOT a full Porter2 implementation."""
-
-    _SUFFIXES = ("ingly", "edly", "ing", "edly", "ed", "ies", "ly", "es", "s")
-
-    def stem(self, w: str) -> str:
-        lw = w.lower()
-        for suf in self._SUFFIXES:
-            if lw.endswith(suf) and len(lw) - len(suf) >= 3:
-                return lw[: -len(suf)]
-        return lw
+# P16 stemming: full Porter2 (Snowball English) — see functions/porter2.py
+# (replaces the round-1 _SnowballLite suffix stripper; the reference uses
+# NLTK's SnowballStemmer, Part C/stemmer.py:4-14, which IS Porter2)
