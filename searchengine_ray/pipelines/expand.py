@@ -50,6 +50,50 @@ class HashWordVectors:
         return out
 
 
+class TextWordVectors:
+    """Word vectors loaded from the reference's text format — one
+    ``word v1 v2 .. vD`` line per word (``Part C/search_engine_best.py:
+    74-89``, GloVe text format).  Same callable API as
+    ``HashWordVectors``; out-of-vocabulary words map to the zero vector
+    (they contribute nothing to doc/query sums)."""
+
+    def __init__(self, vocab: dict[str, int], matrix: np.ndarray):
+        self._vocab = vocab
+        self._matrix = matrix
+        self.dim = matrix.shape[1] if matrix.size else 0
+
+    def __call__(self, words) -> np.ndarray:
+        out = np.zeros((len(words), self.dim), dtype=np.float64)
+        idx = [self._vocab.get(w, -1) for w in words]
+        hit = np.array(idx) >= 0 if idx else np.empty(0, bool)
+        if hit.any():
+            out[hit] = self._matrix[np.array(idx)[hit]]
+        return out
+
+
+def load_word_vectors(path: str, max_words: int = 100_000) -> TextWordVectors:
+    """S5: load a ``word v1 .. vD`` text model file (the reference caps
+    at 100k lines; so do we).  Returns the HashWordVectors-compatible
+    callable used by ``EmbeddingKNNExpansion``, ``compute_doc_vectors``
+    and ``rerank_by_embedding``."""
+    vocab: dict[str, int] = {}
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if len(rows) >= max_words:
+                break
+            values = line.split(" ")
+            if len(values) < 2:
+                continue
+            word = values[0]
+            if word in vocab:
+                continue
+            vocab[word] = len(rows)
+            rows.append(np.asarray(values[1:], dtype="float32"))
+    matrix = np.stack(rows).astype(np.float64) if rows else np.zeros((0, 0))
+    return TextWordVectors(vocab, matrix)
+
+
 class SpellExpansion:
     def __init__(self, whitelist=("coronavirus",), max_distance: int = 2):
         self.whitelist = set(whitelist)

@@ -72,6 +72,48 @@ def test_hash_vectors_deterministic():
     assert not np.allclose(a[0], a[1])
 
 
+def test_load_word_vectors_text_format(qe, tmp_path):
+    """S5: the reference's `word v1..vD` text model format loads into
+    the same callable API as HashWordVectors and plugs into the KNN
+    expansion and rerank paths (search_engine_best.py:74-89)."""
+    from searchengine_ray.pipelines.expand import load_word_vectors
+
+    path = tmp_path / "model.txt"
+    lines = []
+    rng = np.random.default_rng(11)
+    words = ["index", "merge", "shard", "token", "spill"]
+    vecs = rng.normal(size=(len(words), 8)).astype("float32")
+    for w, v in zip(words, vecs):
+        lines.append(w + " " + " ".join(str(x) for x in v))
+    lines.append("index 9 9 9 9 9 9 9 9")  # duplicate: first wins
+    path.write_text("\n".join(lines) + "\n")
+
+    model = load_word_vectors(str(path))
+    assert model.dim == 8
+    got = model(["merge", "nosuchword", "index"])
+    assert got.shape == (3, 8)
+    assert np.allclose(got[0], vecs[1], atol=1e-6)
+    assert np.allclose(got[1], 0.0)          # OOV → zero vector
+    assert np.allclose(got[2], vecs[0], atol=1e-6)  # not the duplicate row
+
+    # cap respected
+    capped = load_word_vectors(str(path), max_words=2)
+    assert capped(["shard"]).sum() == 0.0 and capped(["merge"]).sum() != 0.0
+
+    # plugs into the existing expansion/rerank machinery
+    exp = EmbeddingKNNExpansion(vectors=model, max_query_terms=3)
+    out = exp({"index": 1.0}, qe)
+    assert out["index"] >= 1.0
+    res = qe.search("index merge", k=5)
+    idx = qe.reader.index_dir
+    compute_doc_vectors(idx, vectors=model)  # doc vectors in model space
+    try:
+        rr = rerank_by_embedding(qe, res, "index merge", vectors=model)
+        assert rr.num_rows == res.num_rows
+    finally:
+        compute_doc_vectors(idx)  # restore default-dim vectors for other tests
+
+
 def test_rerank_by_embedding(qe):
     res = qe.search("index merge", k=10)
     rr = rerank_by_embedding(qe, res, "index merge")
