@@ -78,6 +78,17 @@ class ReferenceTokenizer:
         self.re_hashtag_parts = re.compile(r"[a-zA-Z][^A-Z_]*")
         self.re_entity_word = re.compile(r"[A-Z][A-Za-z’'-]*")
         self.re_dots = re.compile(r"[…]+")
+        # P8 char filter (keep ASCII-printable minus punctuation): ASCII
+        # words take a str.translate deletion table; the regex whitelist
+        # handles words with non-ASCII chars — both C-level, no
+        # per-character Python loop
+        allowed = "".join(sorted(_ASCII_PRINTABLE - _PUNC_NO_SLASH))
+        self.re_strip = re.compile(f"[^{re.escape(allowed)}]")
+        self._strip_tbl = {
+            i: None
+            for i in range(128)
+            if chr(i) in _PUNC_NO_SLASH or chr(i) not in _ASCII_PRINTABLE
+        }
         if stemming:
             from .porter2 import Porter2Stemmer
 
@@ -108,19 +119,20 @@ class ReferenceTokenizer:
 
         counts: dict[str, int] = {}
 
-        # P9/P10 number rules — collect canonical tokens and words consumed
+        # P9/P10 number rules — collect canonical tokens and words
+        # consumed (single finditer pass per rule; spans reused below)
         number_tokens: list[str] = []
         consumed: list[str] = []
+        covered = set()
         for m in self.re_number_mult.finditer(text):
             num, word = m.group(1), m.group(2).lower()
             consumed += [m.group(1), m.group(2)]
             number_tokens.append(self._abbrev_mult(num, word))
+            covered.add(m.span())
         for m in self.re_fraction.finditer(text):
             consumed += [m.group(1), m.group(2)]
             number_tokens.append(f"{m.group(1)} {m.group(2)}")
-        covered = {m.span() for m in self.re_number_mult.finditer(text)} | {
-            m.span() for m in self.re_fraction.finditer(text)
-        }
+            covered.add(m.span())
         for m in self.re_number.finditer(text):
             if any(s <= m.start() and m.end() <= e for s, e in covered):
                 continue
@@ -138,12 +150,13 @@ class ReferenceTokenizer:
         while qi < len(queue):
             word = queue[qi]
             qi += 1
-            if self.re_dots.search(word) or len(word) == 1:
+            if "…" in word or len(word) == 1:
                 continue
-            word = "".join(
-                c for c in word if c in _ASCII_PRINTABLE and c not in _PUNC_NO_SLASH
-            )
-            if not word or len(word) == 1 or self.re_dots.search(word):
+            if word.isascii():
+                word = word.translate(self._strip_tbl)
+            else:
+                word = self.re_strip.sub("", word)
+            if not word or len(word) == 1 or "…" in word:
                 continue
             if word == "*CENSORED*":
                 counts[word] = counts.get(word, 0) + 1
