@@ -18,7 +18,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["varbyte_encode", "varbyte_decode", "encode_postings", "decode_postings"]
+__all__ = ["varbyte_encode", "varbyte_decode", "encode_postings",
+           "decode_postings", "decode_postings_concat"]
 
 _U64 = np.uint64
 _MAX_GROUPS = 10  # ceil(64 / 7)
@@ -85,6 +86,44 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray) 
         varbyte_encode(np.ascontiguousarray(doc_lens, dtype=_U64)),
     ]
     return b"".join(p.tobytes() for p in parts)
+
+
+def decode_postings_concat(blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY run blobs in ONE vectorized pass → concatenated
+    (doc_ids, tfs, doc_lens), runs in input order (each run's internal
+    doc order preserved; the result is NOT globally sorted).
+
+    The per-call numpy overhead of ``decode_postings`` dominates when a
+    merge group holds dozens of small runs; this decodes the joined byte
+    stream once and recovers per-run value segments from the varbyte
+    end-byte counts, with a segmented cumsum for the doc-id deltas."""
+    blobs = [b for b in blobs if b]
+    if not blobs:
+        e = np.empty(0, np.int64)
+        return e, e.copy(), e.copy()
+    buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    vals = varbyte_decode(buf)
+    lengths = np.array([len(b) for b in blobs], dtype=np.int64)
+    byte_starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    is_last = ((buf & 0x80) == 0).astype(np.int64)
+    nvals = np.add.reduceat(is_last, byte_starts)
+    val_starts = np.concatenate([[0], np.cumsum(nvals)[:-1]])
+    ns = vals[val_starts].astype(np.int64)
+    d_parts, t_parts, l_parts = [], [], []
+    for vs, n in zip(val_starts, ns):
+        d_parts.append(vals[vs + 1 : vs + 1 + n])
+        t_parts.append(vals[vs + 1 + n : vs + 1 + 2 * n])
+        l_parts.append(vals[vs + 1 + 2 * n : vs + 1 + 3 * n])
+    deltas = np.concatenate(d_parts)
+    tfs = np.concatenate(t_parts).astype(np.int64)
+    lens = np.concatenate(l_parts).astype(np.int64)
+    cs = np.cumsum(deltas, dtype=_U64)
+    seg_starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    base = np.zeros(len(ns), dtype=_U64)
+    nz = seg_starts > 0
+    base[nz] = cs[seg_starts[nz] - 1]
+    ids = (cs - np.repeat(base, ns)).astype(np.int64)
+    return ids, tfs, lens
 
 
 def decode_postings(blob) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -35,7 +35,6 @@ from ..stages.postings import (
     MergeFoldRangeGroup,
     markers_to_cogroup,
     resolve_fold_group,
-    runs_to_cogroup,
     surface_partial_agg,
 )
 from ..stages.tokenize import TOKENIZED_SCHEMA, TokenizeStage
@@ -62,6 +61,33 @@ class _TokenizePartition:
         self.explode = ExplodeEncodeStage(n_ranges=n_ranges)
         self.index_dir = index_dir
         self.sub_batch = sub_batch
+        self.shift = 63 - int(np.log2(n_ranges)) if n_ranges > 1 else 63
+
+    def _write_by_range(self, sub: str, pid: str, tbl: pa.Table,
+                        rng: np.ndarray, dirname: str = "range={u}") -> None:
+        """Write ``tbl`` hash-partitioned by doc-id range at the SOURCE,
+        so downstream stages (rangemap/docmap, posting merge) are
+        shuffle-free per-range maps — moving payload through a groupby
+        cost more than the rest of those stages combined.  Layout:
+        {sub}/<dirname>/{pid}.parquet."""
+        import glob as _glob
+
+        for stale in _glob.glob(
+            os.path.join(self.index_dir, sub, "*", f"{pid}.parquet")
+        ):
+            os.remove(stale)
+        order = np.argsort(rng, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        rs = rng[order]
+        uniq, starts = np.unique(rs, return_index=True)
+        bounds = np.append(starts, len(rs))
+        for u, s, e in zip(uniq, bounds[:-1], bounds[1:]):
+            dest = os.path.join(
+                self.index_dir, sub, dirname.format(u=int(u)), f"{pid}.parquet"
+            )
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            pq.write_table(tbl.slice(s, e - s), dest + ".tmp")
+            os.replace(dest + ".tmp", dest)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"pid": [], "path": [], "rows_in": [], "docs_out": [], "bytes_out": []}
@@ -78,16 +104,26 @@ class _TokenizePartition:
             pq.write_table(tok, tmp)
             os.replace(tmp, dest)
             # side outputs while the table is hot: docstats projection and
-            # the partition's encoded posting runs
-            dstat = os.path.join(self.index_dir, "docstats", f"{pid}.parquet")
-            os.makedirs(os.path.dirname(dstat), exist_ok=True)
-            pq.write_table(tok.select(_SCALAR_COLS), dstat + ".tmp")
-            os.replace(dstat + ".tmp", dstat)
+            # the partition's encoded posting runs, both range-partitioned
+            self._write_by_range(
+                "docstats", pid, tok.select(_SCALAR_COLS),
+                (tok["doc_id"].to_numpy() >> self.shift).astype(np.int32),
+            )
             runs = self.explode(tok)
-            rdest = os.path.join(self.index_dir, "runs", f"{pid}.parquet")
-            os.makedirs(os.path.dirname(rdest), exist_ok=True)
-            pq.write_table(runs, rdest + ".tmp")
-            os.replace(rdest + ".tmp", rdest)
+            # non-hive dir names (rNNNN): the range column stays INSIDE
+            # the run files (the streaming fallback filters on it), so
+            # hive-style names would make readers infer a duplicate column
+            self._write_by_range("runs", pid, runs, runs["range"].to_numpy(),
+                                 dirname="r{u:04d}")
+            # per-pid surface partials, aggregated while the runs are hot:
+            # the resolution job reads these few small files instead of
+            # re-scanning every (pid, range) run file for metadata
+            from ..stages.postings import surface_partial_agg as _spa
+
+            meta_dest = os.path.join(self.index_dir, "runs_meta", f"{pid}.parquet")
+            os.makedirs(os.path.dirname(meta_dest), exist_ok=True)
+            pq.write_table(_spa(runs), meta_dest + ".tmp")
+            os.replace(meta_dest + ".tmp", meta_dest)
             out["pid"].append(pid)
             out["path"].append(path)
             out["rows_in"].append(src.num_rows)
@@ -119,11 +155,21 @@ def build_index(
     path, used by tests and the driver-facing queries).
     Returns the index stats dict (also persisted as index_meta.json).
     """
+    import time as _time
+
     import ray.data as rd
 
     prof = get_profile(profile)
     os.makedirs(index_dir, exist_ok=True)
     manifest = BuildManifest(index_dir)
+    stage_sec: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        stage_sec[stage] = round(now - _t0, 3)
+        _t0 = now
 
     # ---- stage: tokenize -------------------------------------------------
     if isinstance(source, str):
@@ -162,6 +208,7 @@ def build_index(
             for m in metrics:
                 manifest.mark_partition(m["pid"], m["path"], {k: int(v) for k, v in m.items() if k not in ("pid", "path")})
             manifest.invalidate_downstream()
+        _mark("tokenize")
     else:
         if not manifest.stage_done("tokenize_stream"):
             ds = source if hasattr(source, "map_batches") else rd.from_arrow(source)
@@ -174,17 +221,29 @@ def build_index(
             shutil.rmtree(os.path.join(index_dir, "tokenized"), ignore_errors=True)
             tok.write_parquet(os.path.join(index_dir, "tokenized"))
             manifest.mark_stage("tokenize_stream")
+        _mark("tokenize")
 
     tokenized_dir = os.path.join(index_dir, "tokenized")
 
     # ---- stage: docstats ------------------------------------------------
     # (partitioned builds emit docstats parts alongside tokenize; the
-    # streaming path needs the explicit projection job)
+    # streaming path needs the explicit projection job).  Both paths
+    # hash-partition by doc-id range — the key every downstream stage
+    # (rangemap, docmap, merge) already uses — so those stages are
+    # shuffle-free per-range maps.
     if not isinstance(source, str) and not manifest.stage_done("docstats"):
+        shift = 63 - int(np.log2(n_ranges)) if n_ranges > 1 else 63
+
+        def add_range(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            return t.append_column(
+                "range", pa.array((ids >> shift).astype(np.int32), pa.int32())
+            )
+
         shutil.rmtree(os.path.join(index_dir, "docstats"), ignore_errors=True)
-        rd.read_parquet(tokenized_dir, columns=_SCALAR_COLS).write_parquet(
-            os.path.join(index_dir, "docstats")
-        )
+        rd.read_parquet(tokenized_dir, columns=_SCALAR_COLS).map_batches(
+            add_range, batch_format="pyarrow"
+        ).write_parquet(os.path.join(index_dir, "docstats"), partition_cols=["range"])
         manifest.mark_stage("docstats")
 
     # ---- stage: runs ----------------------------------------------------
@@ -207,6 +266,9 @@ def build_index(
     # and the doc_id-sorted serving table (docmap — one file per range,
     # small row groups, so query-time doc lookups read only the row groups
     # holding the final top-k ranks instead of the whole forward table).
+    # Because docstats is already hash-partitioned by range, this is a
+    # SHUFFLE-FREE map: one task per range reads only its partition's
+    # files (no payload ever moves through a groupby).
     rangemap_dir = os.path.join(index_dir, "rangemap")
     docmap_dir = os.path.join(index_dir, "docmap")
     offsets_path = os.path.join(index_dir, "range_offsets.json")
@@ -214,36 +276,49 @@ def build_index(
         from ..functions.codec import varbyte_encode
         from ..state.index_store import DOCMAP_ROW_GROUP
 
-        shift = 63 - int(np.log2(n_ranges)) if n_ranges > 1 else 63
+        docstats_dir = os.path.join(index_dir, "docstats")
 
-        def to_range_rows(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy()
-            return t.append_column(
-                "range", pa.array((ids >> shift).astype(np.int32), pa.int32())
-            )
-
-        def encode_range(g: pa.Table) -> pa.Table:
-            rng = int(g["range"][0].as_py())
-            order = np.argsort(g["doc_id"].to_numpy())
-            g = g.take(pa.array(order))
-            ids = g["doc_id"].to_numpy()
-            deltas = np.empty(len(ids), dtype=np.uint64)
-            deltas[0] = ids[0]
-            deltas[1:] = np.diff(ids).astype(np.uint64)
-            # docmap side output while the sorted table is hot: serving
-            # rows in dense-rank order, rank column carried for row-group
-            # pruned point reads
-            dm = g.drop_columns(["range"]).append_column(
-                "rank", pa.array(np.arange(len(ids), dtype=np.int64))
-            )
-            dest = os.path.join(docmap_dir, f"r{rng:04d}.parquet")
-            pq.write_table(dm, dest + ".tmp", row_group_size=DOCMAP_ROW_GROUP)
-            os.replace(dest + ".tmp", dest)
+        def encode_range_task(batch: pa.Table) -> pa.Table:
+            out = {"range": [], "n": [], "total_len": [], "ids_blob": []}
+            for rng in batch["range"].to_pylist():
+                files = glob.glob(
+                    os.path.join(docstats_dir, f"range={rng}", "*.parquet")
+                )
+                if not files:
+                    continue
+                g = pa.concat_tables([pq.read_table(f) for f in files])
+                order = np.argsort(g["doc_id"].to_numpy())
+                g = g.take(pa.array(order))
+                ids = g["doc_id"].to_numpy()
+                if len(ids) > 1 and (ids[1:] == ids[:-1]).any():
+                    # ranges partition the id space, so a within-range
+                    # duplicate IS a global collision
+                    raise RuntimeError(
+                        "doc_id hash collision detected; widen doc_id to "
+                        "128 bits for this corpus"
+                    )
+                deltas = np.empty(len(ids), dtype=np.uint64)
+                deltas[0] = ids[0]
+                deltas[1:] = np.diff(ids).astype(np.uint64)
+                # docmap side output while the sorted table is hot:
+                # serving rows in dense-rank order, rank column carried
+                # for row-group pruned point reads
+                dm = g.append_column(
+                    "rank", pa.array(np.arange(len(ids), dtype=np.int64))
+                )
+                dest = os.path.join(docmap_dir, f"r{rng:04d}.parquet")
+                pq.write_table(dm, dest + ".tmp", row_group_size=DOCMAP_ROW_GROUP)
+                os.replace(dest + ".tmp", dest)
+                out["range"].append(rng)
+                out["n"].append(len(ids))
+                out["total_len"].append(int(g["doc_len"].to_numpy().sum()))
+                out["ids_blob"].append(varbyte_encode(deltas).tobytes())
             return pa.table(
                 {
-                    "range": pa.array([rng], pa.int32()),
-                    "n": pa.array([len(ids)], pa.int64()),
-                    "ids_blob": pa.array([varbyte_encode(deltas).tobytes()], pa.large_binary()),
+                    "range": pa.array(out["range"], pa.int32()),
+                    "n": pa.array(out["n"], pa.int64()),
+                    "total_len": pa.array(out["total_len"], pa.int64()),
+                    "ids_blob": pa.array(out["ids_blob"], pa.large_binary()),
                 }
             )
 
@@ -251,10 +326,9 @@ def build_index(
         shutil.rmtree(docmap_dir, ignore_errors=True)
         os.makedirs(docmap_dir, exist_ok=True)
         (
-            rd.read_parquet(os.path.join(index_dir, "docstats"))
-            .map_batches(to_range_rows, batch_format="pyarrow")
-            .groupby("range")
-            .map_groups(encode_range, batch_format="pyarrow")
+            rd.from_items([{"range": r} for r in range(n_ranges)])
+            .map_batches(encode_range_task, batch_size=1, batch_format="pyarrow",
+                         num_cpus=1)
             .write_parquet(rangemap_dir)
         )
         import duckdb as _dd
@@ -280,6 +354,7 @@ def build_index(
         manifest.mark_stage("rangemap", {"n_ranges": n_ranges})
     with open(offsets_path) as f:
         range_offsets = json.load(f)["offsets"]
+    _mark("rangemap_docmap")
 
     # ---- stage: postings (distributed resolve → (fold_key, range) merge)
     if not manifest.stage_done("postings"):
@@ -295,45 +370,126 @@ def build_index(
         def resolve_group(g: pa.Table) -> pa.Table:
             return resolve_fold_group(g, case_folding=case_folding)
 
-        markers = (
-            rd.read_parquet(
+        # job 1 — global surface resolution over runs METADATA only
+        # (vocabulary-sized; the ONLY shuffle left in the build): partial
+        # agg → fold_key groupby → marker rows written partitioned by
+        # range so the merge tasks can read exactly their slice
+        markers_dir = os.path.join(index_dir, "res_markers")
+        shutil.rmtree(markers_dir, ignore_errors=True)
+        if glob.glob(os.path.join(index_dir, "runs_meta", "*.parquet")):
+            # partitioned path: per-pid partials were written by the
+            # tokenize tasks while the runs were hot
+            partials = rd.read_parquet(os.path.join(index_dir, "runs_meta"))
+        else:
+            # streaming path: derive partials from the flat run files
+            partials = rd.read_parquet(
                 runs_dir,
                 columns=["fold_key", "surface", "is_cap", "is_entity", "df",
                          "doc_min", "range"],
                 override_num_blocks=n_blocks,
-            )
-            .map_batches(surface_partial_agg, batch_format="pyarrow")
-            .groupby("fold_key")
+            ).map_batches(surface_partial_agg, batch_format="pyarrow")
+        (
+            partials.groupby("fold_key")
             .map_groups(resolve_group, batch_format="pyarrow")
             .map_batches(markers_to_cogroup, batch_format="pyarrow")
+            .map_batches(lambda t: t.drop_columns(["run"]), batch_format="pyarrow")
+            .write_parquet(markers_dir, partition_cols=["range"])
         )
-        # payload scan is column-pruned: is_cap/is_entity/df/cf/doc_min
-        # never ride through the merge shuffle
-        runs = rd.read_parquet(
-            runs_dir, columns=["fold_key", "range", "surface", "run"],
-            override_num_blocks=n_blocks,
-        ).map_batches(runs_to_cogroup, batch_format="pyarrow")
 
+        # job 2 — the merge itself, SHUFFLE-FREE: runs are already
+        # hash-partitioned by range at the tokenize source, so one task
+        # per range reads its runs + markers directly and co-groups by
+        # fold_key in memory (bounded by range size — the n_ranges knob).
+        # The payload never moves through a groupby.
         merger = MergeFoldRangeGroup(
             n_shards=n_shards, chunk_docs=chunk_docs,
             rangemap_dir=rangemap_dir, range_offsets=range_offsets,
         )
 
-        def merge_group(g: pa.Table) -> pa.Table:
-            return merger(g)
+        def merge_range_task(batch: pa.Table) -> pa.Table:
+            import pyarrow.dataset as pads
 
-        chunks = (
-            runs.union(markers)
-            .groupby(["fold_key", "range"])
-            .map_groups(merge_group, batch_format="pyarrow")
-        )
+            from ..stages.postings import COGROUP_SCHEMA
+
+            outs = []
+            for rng in batch["range"].to_pylist():
+                rfiles = glob.glob(os.path.join(runs_dir, f"r{rng:04d}", "*.parquet"))
+                if rfiles:
+                    runs_tbl = pa.concat_tables(
+                        [pq.read_table(f, columns=["fold_key", "surface", "run"])
+                         for f in rfiles]
+                    )
+                else:
+                    # streaming layout: flat run files carry a range column
+                    flat = glob.glob(os.path.join(runs_dir, "*.parquet"))
+                    if not flat:
+                        continue
+                    runs_tbl = pads.dataset(flat).to_table(
+                        columns=["fold_key", "surface", "run"],
+                        filter=pads.field("range") == rng,
+                    )
+                if runs_tbl.num_rows == 0:
+                    continue
+                mfiles = glob.glob(
+                    os.path.join(markers_dir, f"range={rng}", "*.parquet")
+                )
+                mcols = ["fold_key", "surface", "term", "dropped"]
+                mk = (
+                    pa.concat_tables([pq.read_table(f, columns=mcols) for f in mfiles])
+                    if mfiles else None
+                )
+                n_r = runs_tbl.num_rows
+                parts = [pa.table(
+                    {
+                        "fold_key": runs_tbl["fold_key"],
+                        "range": pa.array(np.full(n_r, rng, np.int32)),
+                        "surface": runs_tbl["surface"],
+                        "term": pa.nulls(n_r, pa.string()),
+                        "dropped": pa.nulls(n_r, pa.bool_()),
+                        "run": runs_tbl["run"],
+                    },
+                    schema=COGROUP_SCHEMA,
+                )]
+                if mk is not None and mk.num_rows:
+                    n_m = mk.num_rows
+                    parts.append(pa.table(
+                        {
+                            "fold_key": mk["fold_key"],
+                            "range": pa.array(np.full(n_m, rng, np.int32)),
+                            "surface": mk["surface"],
+                            "term": mk["term"],
+                            "dropped": mk["dropped"],
+                            "run": pa.nulls(n_m, pa.large_binary()),
+                        },
+                        schema=COGROUP_SCHEMA,
+                    ))
+                cg = pa.concat_tables(parts)
+                # co-group by fold_key in memory: int-code sort + slices
+                d = cg["fold_key"].combine_chunks().dictionary_encode()
+                codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                order = np.argsort(codes, kind="stable")
+                cg = cg.take(pa.array(order))
+                cs = codes[order]
+                starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+                bounds = np.append(starts, len(cs))
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    outs.append(merger(cg.slice(s, e - s)))
+            from ..stages.postings import CHUNKS_SCHEMA
+
+            return pa.concat_tables(outs) if outs else CHUNKS_SCHEMA.empty_table()
+
         shutil.rmtree(os.path.join(index_dir, "postings"), ignore_errors=True)
-        chunks.write_parquet(
-            os.path.join(index_dir, "postings"), partition_cols=["shard"]
+        (
+            rd.from_items([{"range": r} for r in range(n_ranges)])
+            .map_batches(merge_range_task, batch_size=1, batch_format="pyarrow",
+                         num_cpus=1)
+            .write_parquet(os.path.join(index_dir, "postings"),
+                           partition_cols=["shard"])
         )
         manifest.mark_stage(
             "postings", {"n_ranges": n_ranges, "n_shards": n_shards}
         )
+    _mark("postings")
 
     # ---- stage: dictionary (tiny aggregate over chunk metadata) ---------
     # column-pruned parquet scan of metadata only — a driver-side DuckDB
@@ -360,6 +516,7 @@ def build_index(
             os.path.join(dict_dir, "part-0.parquet"),
         )
         manifest.mark_stage("dictionary")
+    _mark("dictionary")
 
     # streaming builds drop the runs intermediate (resume restarts from
     # tokenized); partitioned builds keep run parts — they are the
@@ -375,8 +532,11 @@ def build_index(
             json.dump(stats, f, indent=1)
         os.replace(meta_path + ".tmp", meta_path)
         manifest.mark_stage("stats", stats["skew"])
+    _mark("stats")
     with open(meta_path) as f:
-        return json.load(f)
+        out = json.load(f)
+    out["stage_sec"] = stage_sec  # in-memory only: per-run wall times
+    return out
 
 
 def _corpus_stats(index_dir: str, profile_name: str, n_shards: int) -> dict:
@@ -386,15 +546,14 @@ def _corpus_stats(index_dir: str, profile_name: str, n_shards: int) -> dict:
     import duckdb
 
     con = duckdb.connect()
-    n_docs, total_len, n_distinct = con.sql(
-        f"SELECT count(*), COALESCE(sum(doc_len), 0), count(DISTINCT doc_id) "
-        f"FROM read_parquet('{index_dir}/docstats/*.parquet')"
+    # corpus totals come from the (range-count-sized) rangemap metadata —
+    # the rangemap tasks already summed doc_len and checked id uniqueness
+    # per range while they had the rows in hand, so no full docstats scan
+    # happens here
+    n_docs, total_len = con.sql(
+        f"SELECT COALESCE(sum(n), 0), COALESCE(sum(total_len), 0) "
+        f"FROM read_parquet('{index_dir}/rangemap/*.parquet')"
     ).fetchone()
-    if n_distinct != n_docs:
-        raise RuntimeError(
-            f"doc_id hash collision: {n_docs} docs but {n_distinct} distinct ids; "
-            "widen doc_id to 128 bits for this corpus"
-        )
     n_terms, n_postings, max_df, p99_df = (0, 0, 0, 0)
     top_terms: list = []
     if glob.glob(f"{index_dir}/dictionary/*.parquet"):

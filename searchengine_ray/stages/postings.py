@@ -45,7 +45,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.codec import decode_postings, encode_postings
+from ..functions.codec import decode_postings, decode_postings_concat, encode_postings
 from ..functions.hashing import term_shard
 
 RUN_SCHEMA = pa.schema(
@@ -348,7 +348,11 @@ class MergeFoldRangeGroup:
             )
             deltas = varbyte_decode(np.frombuffer(t["ids_blob"][0].as_py(), np.uint8))
             ids = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
-            if len(self._range_ids) > 8:
+            # groups arrive ordered by (fold_key, range): every range
+            # recurs throughout the task, so cache ALL of them (N/n_ranges
+            # int64 each — the explicit per-range memory bound); a small
+            # cache here thrashes on every group
+            if len(self._range_ids) >= 4096:
                 self._range_ids.clear()
             self._range_ids[rng] = ids
         return ids
@@ -375,10 +379,8 @@ class MergeFoldRangeGroup:
 
         out = {k: [] for k in CHUNKS_SCHEMA.names}
         for term in sorted(per_term):
-            parts = [decode_postings(r) for r in per_term[term]]
-            ids = np.concatenate([p[0] for p in parts])
-            tfs = np.concatenate([p[1] for p in parts])
-            lens = np.concatenate([p[2] for p in parts])
+            # one vectorized decode for ALL of the term's runs
+            ids, tfs, lens = decode_postings_concat(per_term[term])
             order = np.argsort(ids, kind="stable")
             ids, tfs, lens = ids[order], tfs[order], lens[order]
             uniq, starts = np.unique(ids, return_index=True)

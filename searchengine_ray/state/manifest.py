@@ -19,14 +19,23 @@ import os
 import time
 
 
+LAYOUT_VERSION = 2  # v2: docstats hash-partitioned by doc-id range
+
+
 class BuildManifest:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
         self.path = os.path.join(index_dir, "build_manifest.json")
-        self.data = {"partitions": {}, "stages": {}, "created_at": time.time()}
+        self.data = {"partitions": {}, "stages": {}, "created_at": time.time(),
+                     "layout": LAYOUT_VERSION}
         if os.path.exists(self.path):
             with open(self.path) as f:
                 self.data = json.load(f)
+            if self.data.get("layout") != LAYOUT_VERSION:
+                # on-disk layout changed between versions: a resume would
+                # mix incompatible artifacts — force a full rebuild
+                self.data = {"partitions": {}, "stages": {},
+                             "created_at": time.time(), "layout": LAYOUT_VERSION}
 
     # -- persistence ----------------------------------------------------
     def save(self) -> None:
@@ -71,8 +80,10 @@ class BuildManifest:
             if current.get(pid) != rec["lineage"]["path"]:
                 removed.append(pid)
                 del self.data["partitions"][pid]
-        for sub in ("tokenized", "docstats", "runs"):
-            for f in glob.glob(os.path.join(self.index_dir, sub, "*.parquet")):
+        for pat in ("tokenized/*.parquet", "runs/*.parquet",
+                    "runs_meta/*.parquet", "docstats/*/*.parquet",
+                    "runs/*/*.parquet"):
+            for f in glob.glob(os.path.join(self.index_dir, pat)):
                 pid = os.path.basename(f)[: -len(".parquet")]
                 if pid not in current:
                     os.remove(f)

@@ -16,6 +16,11 @@ def _dictionary(idx):
     return sorted(zip(t["term"].to_pylist(), t["df"].to_pylist(), t["cf"].to_pylist()))
 
 
+def _stable(stats):
+    """Index stats minus the per-run wall-time diagnostics."""
+    return {k: v for k, v in stats.items() if k != "stage_sec"}
+
+
 def test_resume_skips_and_rebuilds(tmp_path):
     src, idx = str(tmp_path / "corpus"), str(tmp_path / "index")
     write_synth_transcripts(src, n_files=4, n_convs=20, turns_per_conv=6, seed=5)
@@ -27,7 +32,7 @@ def test_resume_skips_and_rebuilds(tmp_path):
     # full resume: nothing recomputed
     stats2 = build_index(src, idx, profile="simple")
     mtimes2 = {f: os.path.getmtime(f"{idx}/tokenized/{f}") for f in os.listdir(f"{idx}/tokenized")}
-    assert stats1 == stats2
+    assert _stable(stats1) == _stable(stats2)
     assert mtimes1 == mtimes2
 
     # drop one partition record → only that partition re-tokenized
@@ -40,7 +45,7 @@ def test_resume_skips_and_rebuilds(tmp_path):
     mtimes3 = {f: os.path.getmtime(f"{idx}/tokenized/{f}") for f in os.listdir(f"{idx}/tokenized")}
     rebuilt = [f for f in mtimes2 if mtimes3[f] != mtimes2[f]]
     assert rebuilt == ["p00001.parquet"]
-    assert stats3 == stats1
+    assert _stable(stats3) == _stable(stats1)
     assert _dictionary(idx) == dict1
 
     # manifest carries lineage + metrics per partition
@@ -63,9 +68,12 @@ def test_removed_input_reconciled(tmp_path):
     os.remove(os.path.join(src, removed))
     stats_less = build_index(src, idx, profile="simple")
     assert stats_less["n_docs"] < stats_full["n_docs"]
-    for sub in ("tokenized", "docstats", "runs"):
-        pids = sorted(os.listdir(f"{idx}/{sub}"))
-        assert pids == ["p00000.parquet", "p00001.parquet", "p00002.parquet"], sub
+    import glob as _glob
+
+    expect = ["p00000.parquet", "p00001.parquet", "p00002.parquet"]
+    for pat in ("tokenized/*.parquet", "runs/*/*.parquet", "docstats/*/*.parquet"):
+        pids = sorted({os.path.basename(f) for f in _glob.glob(f"{idx}/{pat}")})
+        assert pids == expect, pat
     man = json.load(open(f"{idx}/build_manifest.json"))
     assert sorted(man["partitions"]) == ["p00000", "p00001", "p00002"]
 
