@@ -56,6 +56,16 @@ df AS (
 SEARCH_QUERY_TEXT = "spark join fast table"
 _QTERMS = ", ".join(f"('{t}')" for t in SEARCH_QUERY_TEXT.split())
 
+# Q15/Q16 synonym expansion twin: q_expanded_search expands with
+# SynonymExpansion({"spark": ["stream"], "table": ["row"]}, weight=0.2).
+# Expansion weights scale ONLY the inner-product term (q_tf factor,
+# ranker.py:45-59); BM25 has no q_tf factor.
+_QTERMS_EXPANDED = ", ".join(
+    f"('{t}', {w})"
+    for t, w in (("spark", 1.0), ("join", 1.0), ("fast", 1.0),
+                 ("table", 1.0), ("stream", 0.2), ("row", 0.2))
+)
+
 _CAND = f"""
 qterms(term) AS (VALUES {_QTERMS}),
 cand AS (
@@ -72,11 +82,28 @@ cand AS (
 """
 
 
-def _topk_sql(score_expr: str, k: int = 10, extra_join: str = "", where: str = "") -> str:
+_CAND_WEIGHTED = f"""
+qterms(term, w) AS (VALUES {_QTERMS_EXPANDED}),
+cand AS (
+    SELECT tf.conv_id, tf.turn_idx,
+           sum({_BM25_TERM}) AS bm25,
+           sum(q.w * {_INNER_TERM}) AS inner_p
+    FROM tf
+    JOIN qterms q ON tf.term = q.term
+    JOIN df d ON d.term = tf.term
+    JOIN docstats ds ON ds.conv_id = tf.conv_id AND ds.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY tf.conv_id, tf.turn_idx
+)
+"""
+
+
+def _topk_sql(score_expr: str, k: int = 10, extra_join: str = "", where: str = "",
+              cand_cte: str | None = None) -> str:
     return (
         SEARCH_PREFIX
         + ", "
-        + _CAND
+        + (cand_cte if cand_cte is not None else _CAND)
         + f"""
 SELECT c.conv_id, c.turn_idx, {sql_round_half_up(score_expr, 4)} AS score
 FROM cand c {extra_join}
@@ -132,6 +159,7 @@ LIMIT 10
         + """SELECT term, conv_id, turn_idx, tf FROM tf
              WHERE term IN ('spark', 'merge', 'window', 'dup')""",
         "bm25_topk": _topk_sql("c.bm25"),
+        "expanded_search": _topk_sql(blend, cand_cte=_CAND_WEIGHTED),
         "inner_topk": _topk_sql("c.inner_p"),
         "blend_topk": _topk_sql(blend),
         "role_filter_search": _topk_sql(
