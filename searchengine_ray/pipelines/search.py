@@ -45,6 +45,14 @@ class QueryEngine:
             from ..functions.reference_tokenizer import ReferenceTokenizer
 
             self._ref_tok = ReferenceTokenizer(stemming=self.profile.stemming)
+        # per-term static score arrays (ids, ntf, bm25 element scores) —
+        # query-independent for a fixed profile, so hot terms score with
+        # two bincounts and zero recomputed math
+        from collections import OrderedDict
+
+        self._term_static_cache: OrderedDict = OrderedDict()
+        self._term_static_entries = 0
+        self.term_static_max_entries = 20_000_000
 
     # ------------------------------------------------------------------
     def parse_query(self, query: str, expander=None) -> dict[str, float]:
@@ -128,21 +136,78 @@ class QueryEngine:
         ntf = tfs / lens
         idf2 = np.log2(n / df)
         bm25 = idf2 * (ntf * (ntf * (p.k1 + 1))) / (ntf + p.k1 * (1 - p.b + p.b * lens / avgdl))
-        inner = q_tf * (ntf * np.log10(n / df))
+        # (q_tf·log10) scalar first, then ×ntf — the SAME association as
+        # the vectorized exact path, so wand re-accumulation stays
+        # bit-for-bit with it
+        inner = (q_tf * np.log10(n / df)) * ntf
         return bm25, inner
 
+    def _term_static(self, term: str):
+        """(ids, ntf, bm25-element) arrays for one term — everything about
+        its per-posting scores that does not depend on the query; LRU-
+        cached so hot terms never recompute the score chain."""
+        cached = self._term_static_cache.get(term)
+        if cached is not None:
+            self._term_static_cache.move_to_end(term)
+            return cached
+        ids, tfs, lens = self.reader.postings(term)
+        p = self.profile
+        n, avgdl = self.reader.n_docs, self.reader.avgdl
+        idf2 = np.log2(n / self.reader.df(term))
+        ntf = tfs / lens
+        b_el = idf2 * (ntf * (ntf * (p.k1 + 1))) / (
+            ntf + p.k1 * (1 - p.b + p.b * lens / avgdl)
+        )
+        out = (ids, ntf, b_el)
+        self._term_static_cache[term] = out
+        self._term_static_entries += len(ids)
+        while (
+            self._term_static_entries > self.term_static_max_entries
+            and self._term_static_cache
+        ):
+            _, old = self._term_static_cache.popitem(last=False)
+            self._term_static_entries -= len(old[0])
+        return out
+
     def _score_exact(self, q: dict[str, int]):
-        posted = self._fetch_postings(list(q))
-        all_ids = np.concatenate([posted[t][0] for t in q])
-        cand = np.unique(all_ids)
-        bm25 = np.zeros(len(cand))
-        inner = np.zeros(len(cand))
-        for t, q_tf in q.items():
-            ids, tfs, lens = posted[t]
-            pos = np.searchsorted(cand, ids)
-            b, i = self._term_scores(t, q_tf, ids, tfs, lens)
-            bm25[pos] += b
-            inner[pos] += i
+        """Vectorized across ALL query terms.  Accumulation is term-major
+        — exactly the order the sequential per-term ``+=`` loop used, so
+        scores are bit-for-bit identical to that formulation (and to the
+        wand re-accumulation pass)."""
+        self._fetch_postings(list(q))  # threaded cold fetch
+        terms = list(q)
+        parts = [self._term_static(t) for t in terms]
+        n = n_docs = self.reader.n_docs
+        stream = sum(len(pt[0]) for pt in parts)
+        if self.reader.meta.get("dense_ids") and n_docs <= max(4 * stream, 1 << 20):
+            # dense ids ARE ranks in [0, n_docs): scatter-add straight
+            # over the ids — no sort, no unique, no concatenation.
+            # (Guarded to stream-comparable n_docs: a sharded serving
+            # actor at extreme scale covers one doc range, so the dense
+            # arrays stay node-sized.)
+            bm25_f = np.zeros(n_docs)
+            inner_f = np.zeros(n_docs)
+            mask = np.zeros(n_docs, dtype=bool)
+            for t, (ids, ntf, b_el) in zip(terms, parts):
+                w = q[t] * np.log10(n / self.reader.df(t))
+                bm25_f += np.bincount(ids, weights=b_el, minlength=n_docs)
+                inner_f += np.bincount(ids, weights=w * ntf, minlength=n_docs)
+                mask[ids] = True
+            cand = np.flatnonzero(mask)
+            bm25 = bm25_f[cand]
+            inner = inner_f[cand]
+        else:
+            all_ids = np.concatenate([pt[0] for pt in parts])
+            b_cat = np.concatenate([pt[2] for pt in parts])
+            i_cat = np.concatenate(
+                [
+                    (q[t] * np.log10(n / self.reader.df(t))) * pt[1]
+                    for t, pt in zip(terms, parts)
+                ]
+            )
+            cand, inv = np.unique(all_ids, return_inverse=True)
+            bm25 = np.bincount(inv, weights=b_cat, minlength=len(cand))
+            inner = np.bincount(inv, weights=i_cat, minlength=len(cand))
         p = self.profile
         scores = p.w_bm25 * bm25 + p.w_inner * inner
         if p.w_cosine:
@@ -197,70 +262,81 @@ class QueryEngine:
         metas = {t: self.reader.chunk_meta(t) for t in q}
         ubs = {t: float(term_ub(t, q[t], metas[t]["max_ntf"].max())) for t in q}
         terms_sorted = sorted(q, key=lambda t: -ubs[t])
+        n_docs = self.reader.n_docs
+        stream_est = sum(self.reader.df(t) for t in q)
+        if not (
+            self.reader.meta.get("dense_ids")
+            and n_docs <= max(4 * stream_est, 1 << 20)
+        ):
+            # legacy (hashed-id) indexes keep no dense rank space; exact
+            # scoring is the correct (and now cheap) fallback
+            return self._score_exact(q)
 
-        cand = np.empty(0, np.int64)
-        bm25 = np.empty(0)
-        inner = np.empty(0)
+        # open phase over dense-rank score arrays: a term is a scatter-add
+        # (ids are unique per term), never a sorted merge
+        bm25_f = np.zeros(n_docs)
+        inner_f = np.zeros(n_docs)
+        mask = np.zeros(n_docs, dtype=bool)
+        n_seen = 0
+        cand = None
         posted: dict[str, tuple] = {}
         closed = False  # True once no new doc can reach the top-k
+        processed_ub = 0.0
         for i, t in enumerate(terms_sorted):
             remaining = sum(ubs[t2] for t2 in terms_sorted[i:])
-            if not closed and len(cand) >= k:
-                theta = np.partition(p.w_bm25 * bm25 + p.w_inner * inner, -k)[-k]
+            # θ ≤ sum of processed bounds, so when remaining ≥ that sum the
+            # close test cannot pass — skip the partition entirely
+            if not closed and n_seen >= k and remaining < processed_ub:
+                blend = p.w_bm25 * bm25_f + p.w_inner * inner_f
+                theta = np.partition(blend[mask], -k)[-k]
                 # full 10^-RANK_DECIMALS margin: guarantees a pruned
                 # doc's ROUNDED score is strictly below the k-th rounded
                 # score, so rounded-score tie-breaks cannot flip
                 if remaining < theta - (10.0 ** -RANK_DECIMALS + 1e-12):
                     closed = True
+                    cand = np.flatnonzero(mask)
             if closed:
                 # block-max skip: only chunks overlapping current candidates
                 m = metas[t]
-                keep = set()
-                for j in range(len(m["chunk_idx"])):
-                    lo = np.searchsorted(cand, m["doc_min"][j], side="left")
-                    hi = np.searchsorted(cand, m["doc_max"][j], side="right")
-                    if hi > lo:
-                        keep.add(int(m["chunk_idx"][j]))
+                lo = np.searchsorted(cand, m["doc_min"], side="left")
+                hi = np.searchsorted(cand, m["doc_max"], side="right")
+                keep = {int(ci) for ci in m["chunk_idx"][hi > lo]}
                 if not keep:
                     posted[t] = None
                     continue
                 ids, tfs, lens = self.reader.postings(t, chunk_ids=keep)
-                pos = np.searchsorted(cand, ids)
-                pos_ok = np.clip(pos, 0, len(cand) - 1)
-                hit = cand[pos_ok] == ids
-                posted[t] = (ids[hit], tfs[hit], lens[hit])
-                b, inn = self._term_scores(t, q[t], ids[hit], tfs[hit], lens[hit])
-                bm25[pos_ok[hit]] += b
-                inner[pos_ok[hit]] += inn
+                hit = mask[ids]
+                ids_h = ids[hit]
+                b, inn = self._term_scores(t, q[t], ids_h, tfs[hit], lens[hit])
+                posted[t] = (ids_h, b, inn)
             else:
-                ids, tfs, lens = self.reader.postings(t)
-                posted[t] = (ids, tfs, lens)
-                merged = np.unique(np.concatenate([cand, ids]))
-                nb = np.zeros(len(merged))
-                ni = np.zeros(len(merged))
-                old = np.searchsorted(merged, cand)
-                nb[old] = bm25
-                ni[old] = inner
-                pos = np.searchsorted(merged, ids)
-                b, inn = self._term_scores(t, q[t], ids, tfs, lens)
-                nb[pos] += b
-                ni[pos] += inn
-                cand, bm25, inner = merged, nb, ni
+                ids, ntf, b = self._term_static(t)
+                inn = (q[t] * np.log10(n / self.reader.df(t))) * ntf
+                posted[t] = (ids, b, inn)
+                bm25_f[ids] += b
+                inner_f[ids] += inn
+                mask[ids] = True
+                n_seen = int(np.count_nonzero(mask))
+            processed_ub += ubs[t]
 
         # Final pass: re-accumulate in the exact path's term order (dict
         # insertion order of ``q``) so float summation order — and hence
-        # every score bit — matches ``_score_exact`` for the survivors.
-        bm25 = np.zeros(len(cand))
-        inner = np.zeros(len(cand))
-        for t, q_tf in q.items():
+        # every score bit — matches ``_score_exact`` for the survivors
+        # (per-element values come from the same cached b/inner arrays).
+        if cand is None:
+            cand = np.flatnonzero(mask)
+        # every posted id is ∈ cand (open-phase ids are in mask; closed-
+        # phase ids were filtered by it), so dense scatter-adds replace
+        # per-term searchsorted into the candidate array
+        bm25_f[:] = 0.0
+        inner_f[:] = 0.0
+        for t in q:
             if posted.get(t) is None:
                 continue
-            ids, tfs, lens = posted[t]
-            pos = np.searchsorted(cand, ids)
-            b, inn = self._term_scores(t, q_tf, ids, tfs, lens)
-            bm25[pos] += b
-            inner[pos] += inn
-        return cand, p.w_bm25 * bm25 + p.w_inner * inner
+            ids, b, inn = posted[t]
+            bm25_f[ids] += b
+            inner_f[ids] += inn
+        return cand, p.w_bm25 * bm25_f[cand] + p.w_inner * inner_f[cand]
 
     # ------------------------------------------------------------------
     def _rank(self, ids: np.ndarray, scores: np.ndarray, k: int | None,

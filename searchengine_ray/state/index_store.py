@@ -23,6 +23,7 @@ import json
 import os
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
@@ -72,6 +73,14 @@ class IndexReader:
         self._term_cis: dict[str, set] = {}
         self._cache_lock = threading.Lock()
         self._meta_cache: dict[str, dict] = {}
+        # LRU of docmap row-group tables — repeated top-k lookups hit the
+        # same hot groups; 256 groups × DOCMAP_ROW_GROUP rows is a few MB
+        self._dm_rg_cache: OrderedDict = OrderedDict()
+        self.dm_rg_cache_max = 256
+        # full-term concatenation LRU: re-joining a hot term's ~100 cached
+        # chunks cost more than scoring; shares the postings budget
+        self._full_cache: OrderedDict = OrderedDict()
+        self._full_postings = 0
         self._cache_postings = 0
         self.cache_max_postings = 20_000_000  # ~decoded entries held per reader
 
@@ -93,6 +102,9 @@ class IndexReader:
         if cached is not None:
             return cached
         tbl = self._term_chunks(term, columns=["chunk_idx", "doc_min", "doc_max", "max_ntf"])
+        return self._put_meta(term, tbl)
+
+    def _put_meta(self, term: str, tbl):
         order = np.argsort(tbl["chunk_idx"].to_numpy())
         out = {
             "chunk_idx": tbl["chunk_idx"].to_numpy()[order],
@@ -116,6 +128,12 @@ class IndexReader:
         share the reader."""
         if term not in self._dict:
             return None
+        if chunk_ids is None:
+            with self._cache_lock:
+                full = self._full_cache.get(term)
+                if full is not None:
+                    self._full_cache.move_to_end(term)
+                    return full
         with self._cache_lock:
             have = {
                 ci: self._chunk_cache[(term, ci)]
@@ -123,24 +141,36 @@ class IndexReader:
             }
             for ci in have:
                 self._chunk_cache.move_to_end((term, ci))
-        extra = None
-        scan = True
-        if chunk_ids is None:
-            if have:
-                extra = ~pads.field("chunk_idx").isin(list(have))
-        else:
-            missing = [ci for ci in chunk_ids if ci not in have]
-            if missing:
-                extra = pads.field("chunk_idx").isin(missing)
-            else:
-                scan = False
+        meta = self._meta_cache.get(term)
         decoded = {}
-        if scan:
-            tbl = self._term_chunks(term, columns=["chunk_idx", "run"], extra_filter=extra)
+        if meta is None:
+            # first touch of the term: ONE scan fetches chunk metadata and
+            # run blobs together (meta rides in the same row groups)
+            tbl = self._term_chunks(
+                term,
+                columns=["chunk_idx", "doc_min", "doc_max", "max_ntf", "run"],
+            )
+            meta = self._put_meta(term, tbl)
             decoded = {
                 int(ci): decode_postings(run)
                 for ci, run in zip(tbl["chunk_idx"].to_pylist(), tbl["run"].to_pylist())
             }
+        else:
+            # the cached meta names every chunk the term has, so a fully
+            # cached term never re-touches parquet (the old path scanned
+            # the dataset with an exclusion filter on every warm query)
+            want = meta["chunk_idx"] if chunk_ids is None else chunk_ids
+            missing = [int(ci) for ci in want if int(ci) not in have]
+            if missing:
+                tbl = self._term_chunks(
+                    term, columns=["chunk_idx", "run"],
+                    extra_filter=pads.field("chunk_idx").isin(missing),
+                )
+                decoded = {
+                    int(ci): decode_postings(run)
+                    for ci, run in zip(tbl["chunk_idx"].to_pylist(), tbl["run"].to_pylist())
+                }
+        if decoded:
             self.stats["chunks_decoded"] += len(decoded)
             with self._cache_lock:
                 for ci, p in decoded.items():
@@ -152,9 +182,18 @@ class IndexReader:
         parts = [merged[ci] for ci in cis]
         if not parts:
             return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
-        if len(parts) == 1:
-            return parts[0]
-        return tuple(np.concatenate([p[j] for p in parts]) for j in range(3))
+        out = parts[0] if len(parts) == 1 else tuple(
+            np.concatenate([p[j] for p in parts]) for j in range(3)
+        )
+        if chunk_ids is None:
+            with self._cache_lock:
+                if term not in self._full_cache:
+                    self._full_cache[term] = out
+                    self._full_postings += len(out[0])
+                    while self._full_postings > self.cache_max_postings and self._full_cache:
+                        _, old = self._full_cache.popitem(last=False)
+                        self._full_postings -= len(old[0])
+        return out
 
     def _cache_put(self, term: str, ci: int, part) -> None:
         # caller holds _cache_lock
@@ -229,13 +268,26 @@ class IndexReader:
         for rng in np.unique(rngs):
             m = rngs == rng
             loc = local[m]
-            pf = self._docmap_file(int(rng))
             grp = loc // rg_size
             need = np.unique(grp)
-            tbl = pf.read_row_groups(need.tolist(), columns=list(columns))
-            self.stats["docmap_rows_read"] += tbl.num_rows
+            key_cols = tuple(columns)
+            parts = []
+            for g in need:
+                ck = (int(rng), int(g), key_cols)
+                t = self._dm_rg_cache.get(ck)
+                if t is None:
+                    pf = self._docmap_file(int(rng))
+                    t = pf.read_row_groups([int(g)], columns=list(columns))
+                    self.stats["docmap_rows_read"] += t.num_rows
+                    self._dm_rg_cache[ck] = t
+                    while len(self._dm_rg_cache) > self.dm_rg_cache_max:
+                        self._dm_rg_cache.popitem(last=False)
+                else:
+                    self._dm_rg_cache.move_to_end(ck)
+                parts.append(t)
+            tbl = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
             # row index inside the concatenation of the selected groups
-            sizes = np.array([pf.metadata.row_group(int(g)).num_rows for g in need])
+            sizes = np.array([t.num_rows for t in parts])
             base = np.concatenate([[0], np.cumsum(sizes[:-1])])
             rows = base[np.searchsorted(need, grp)] + (loc - grp * rg_size)
             for c in columns:
