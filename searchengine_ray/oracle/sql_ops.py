@@ -29,6 +29,30 @@ def _marker_list(lang: str) -> str:
 
 def ops_sql() -> dict[str, str]:
     r4 = sql_round_half_up
+    # minhash_verified_pairs shares this oracle: LSH only PROPOSES
+    # candidates there, the filter is the same exact n-gram Jaccard, and
+    # at 128 hashes / 32 bands candidate recall for J≥0.8 is complete
+    # (miss probability (1−0.8⁴)³² ≈ 5·10⁻⁸ per pair)
+    ngram_jaccard = f"""
+            WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            idx AS (
+                SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS i
+                FROM words),
+            g AS (
+                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
+                FROM idx),
+            sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM g GROUP BY doc_id),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS inter
+                FROM g a JOIN g b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   {sql_round_half_up("inter / (sa.n + sb.n - inter)", 4)} AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = pairs.doc_a
+            JOIN sizes sb ON sb.doc_id = pairs.doc_b
+            WHERE inter / (sa.n + sb.n - inter) >= 0.8
+        """
     quality_raw = (
         "0.5 * least(1.0, n_tokens / 50.0) "
         "+ 0.3 * (1 - CASE WHEN n_tokens > 0 THEN stop_hits::DOUBLE / greatest(n_tokens, 1) ELSE 0 END) "
@@ -84,26 +108,8 @@ def ops_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_copies
             FROM documents GROUP BY md5(text)
         """,
-        "ngram_jaccard_pairs": f"""
-            WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
-            idx AS (
-                SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS i
-                FROM words),
-            g AS (
-                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
-                FROM idx),
-            sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM g GROUP BY doc_id),
-            pairs AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS inter
-                FROM g a JOIN g b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-            SELECT doc_a, doc_b,
-                   {r4("inter / (sa.n + sb.n - inter)", 4)} AS jaccard
-            FROM pairs
-            JOIN sizes sa ON sa.doc_id = pairs.doc_a
-            JOIN sizes sb ON sb.doc_id = pairs.doc_b
-            WHERE inter / (sa.n + sb.n - inter) >= 0.8
-        """,
+        "ngram_jaccard_pairs": ngram_jaccard,
+        "minhash_verified_pairs": ngram_jaccard,
         # ---- similarity search -----------------------------------------
         "ann_cosine_topk": f"""
             WITH q AS (

@@ -364,6 +364,114 @@ def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
     return result
 
 
+def minhash_verified_pairs(sf_dir: str, threshold: float = 0.8, shingle: int = 3,
+                           bands: int = 32, max_block: int = 200):
+    """→ (doc_a, doc_b, jaccard): the standard blocking-plus-verification
+    dedup pipeline — MinHash/LSH banding proposes candidate pairs, exact
+    word-n-gram Jaccard (same gram definition as ``ngram_jaccard_pairs``)
+    is the FILTER.  Output is therefore oracle-checkable against the
+    all-pairs Jaccard SQL: at 128 hashes / 32 bands a J≥0.8 pair escapes
+    every band with probability (1−0.8⁴)³² ≈ 5·10⁻⁸, so candidate recall
+    is complete in practice while the cluster only ever verifies the
+    LSH-proposed pairs instead of all n².
+
+    Gram sets for the verify step are computed only for candidate docs
+    (predicate-pushdown read) and broadcast as hashed-shingle arrays;
+    the pair verify runs vectorized per batch over the candidate
+    Dataset."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow",
+                          fn_constructor_kwargs={"shingle": shingle},
+                          concurrency=(1, 4)).materialize()
+
+    n_hashes = 128
+    r = n_hashes // bands
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy()
+        sig = np.stack([np.asarray(s) for s in t["signature"].to_pylist()]).astype(np.uint64)
+        rows_doc, rows_band, rows_hash = [], [], []
+        for bidx in range(bands):
+            seg = sig[:, bidx * r : (bidx + 1) * r]
+            with np.errstate(over="ignore"):
+                bh = seg[:, 0].copy()
+                for j in range(1, r):
+                    bh = splitmix64(bh ^ seg[:, j])
+            rows_doc.append(doc)
+            rows_band.append(np.full(len(doc), bidx, dtype=np.int32))
+            rows_hash.append(bh.astype(np.int64))
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(rows_band), pa.int32()),
+                "band_hash": pa.array(np.concatenate(rows_hash), pa.int64()),
+                "doc_id": pa.array(np.concatenate(rows_doc), pa.int64()),
+            }
+        )
+
+    cand = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(_pairs_from_group, batch_format="pyarrow", fn_kwargs={"max_block": max_block})
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .materialize()  # candidate pairs are few by construction
+    )
+
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+    )
+    needed = sorted(set(cand.unique("doc_a")) | set(cand.unique("doc_b")))
+    if not needed:
+        return out_schema.empty_table()
+
+    # hashed gram sets for candidate docs only (predicate-pushdown read)
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id").isin(needed)
+    )
+    gram_sets: dict[int, np.ndarray] = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        words = _simple_words(text)
+        grams = sorted(
+            {" ".join(words[i : i + shingle]) for i in range(len(words) - shingle + 1)}
+        )
+        gram_sets[did] = np.unique(hash_str_u64(grams)) if grams else np.empty(0, np.uint64)
+    sets_ref = ray.put(gram_sets)
+
+    def verify(tb: pa.Table) -> pa.Table:
+        gs = ray.get(sets_ref)
+        da = tb["doc_a"].to_pylist()
+        db = tb["doc_b"].to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(da, db):
+            sa, sb = gs[a], gs[b]
+            union = len(sa) + len(sb)
+            if union == 0:
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (union - inter)
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(round_half_up(np.asarray(out_j, np.float64), 4)),
+            }
+        )
+
+    return _collect_table(
+        cand.map_batches(verify, batch_format="pyarrow"), out_schema
+    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -55,6 +55,10 @@ def q_minhash_lsh_pairs(sf_dir: str):
     return dedup.minhash_lsh_pairs(sf_dir, verify=True)
 
 
+def q_minhash_verified_pairs(sf_dir: str):
+    return dedup.minhash_verified_pairs(sf_dir, threshold=0.8)
+
+
 def q_simhash_pairs(sf_dir: str):
     return dedup.simhash_pairs(sf_dir)
 
@@ -99,6 +103,7 @@ OPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_verified_pairs": q_minhash_verified_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,

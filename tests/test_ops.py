@@ -59,6 +59,21 @@ def test_minhash_finds_planted(planted_dir):
     assert 0.5 <= float(near.jaccard.iloc[0]) < 1.0
 
 
+def test_minhash_verified_equals_allpairs_jaccard(planted_dir):
+    """minhash_verified_pairs (LSH blocking + exact-Jaccard filter) must
+    return exactly the all-pairs n-gram Jaccard result — that equality is
+    what makes it oracle-checkable."""
+    lsh = dedup.minhash_verified_pairs(planted_dir, threshold=0.5).to_pandas()
+    allp = (
+        dedup.ngram_jaccard_pairs(planted_dir, threshold=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert lsh.reset_index(drop=True).equals(allp)
+    assert {(1, 2), (3, 4)} <= set(zip(lsh.doc_a, lsh.doc_b))
+
+
 def test_simhash_finds_exact_dup(planted_dir):
     res = dedup.simhash_pairs(planted_dir, max_hamming=3).to_pandas()
     pairs = set(zip(res.doc_a, res.doc_b))
