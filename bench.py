@@ -139,6 +139,22 @@ def run_once() -> dict:
     p95 = lat_exact[int(0.95 * (len(lat_exact) - 1))]
     p95_wand = lat_wand[int(0.95 * (len(lat_wand) - 1))]
 
+    # serving throughput: actor pool under concurrent load vs the serial
+    # in-process engine (same 30 queries, 10 rounds)
+    pool_qps = 0.0
+    if qs:
+        from searchengine_ray.pipelines.serve import SearchService
+
+        svc = SearchService(idx, n_workers=min(8, NUM_CPUS), routing="terms")
+        try:
+            batch = qs * 10
+            svc.search_many(qs, k=10)  # warm the actor caches
+            t0 = time.perf_counter()
+            svc.search_many(batch, k=10)
+            pool_qps = len(batch) / (time.perf_counter() - t0)
+        finally:
+            svc.shutdown()
+
     ray.shutdown()
     shutil.rmtree(idx, ignore_errors=True)
     headline = build_sec + query_sec
@@ -153,6 +169,7 @@ def run_once() -> dict:
             "query_p95_cold_ms": round(p95_cold * 1000, 2),
             "query_p95_ms": round(p95 * 1000, 2),
             "query_p95_wand_ms": round(p95_wand * 1000, 2),
+            "pool_qps": round(pool_qps, 1),
             "n_turns": n_turns,
             "n_terms": stats["n_terms"],
             "n_postings": stats["n_postings"],

@@ -1,0 +1,106 @@
+"""Distributed query serving: a pool of QueryEngine actors.
+
+The reference serves queries from a single in-process engine
+(``Part C/search_frontend.py`` runs one Flask process over one loaded
+index).  At cluster scale, query serving is a pool of long-lived actors,
+each holding the warm per-term caches of an ``IndexReader`` — the
+natural Ray expression of a stateful serving tier:
+
+- ``SearchWorker``: one actor = one ``QueryEngine`` (postings LRU,
+  term-static score LRU, docmap row-group LRU all live actor-side).
+- ``SearchService``: the driver-side handle.  Routes each query to a
+  worker by **term affinity** — hash of the query's sorted resolved
+  terms — so a hot term's postings are decoded and cached on ONE worker
+  instead of every worker re-decoding them (round-robin available for
+  uniform load).  ``search_many`` pipelines a whole batch of queries and
+  gathers results in submission order.
+
+On a multi-node cluster the same class works unchanged: actors spread
+across nodes (``scheduling_strategy="SPREAD"``), each reading the
+shared index from its node-local page cache / object store.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+import ray
+
+
+@ray.remote(num_cpus=1)
+class SearchWorker:
+    """One serving actor: engine construction (dictionary load, cache
+    allocation) happens once here, queries reuse the warm state."""
+
+    def __init__(self, index_dir: str, profile=None):
+        from .search import QueryEngine
+
+        self.engine = QueryEngine(index_dir, profile=profile)
+
+    def search(self, query: str, k=None, method: str = "exact",
+               role=None) -> pa.Table:
+        return self.engine.search(query, k=k, method=method, role=role)
+
+    def cache_stats(self) -> dict:
+        r = self.engine.reader
+        return {
+            "chunks_cached": len(r._chunk_cache),
+            "cached_postings": r._cache_postings,
+            **r.stats,
+        }
+
+
+class SearchService:
+    """Driver-side pool handle.
+
+    ``routing="terms"`` (default): queries with the same term set hit the
+    same worker — cache-optimal for skewed query workloads.
+    ``routing="rr"``: round-robin — latency-optimal for uniform ones.
+    """
+
+    def __init__(self, index_dir: str, n_workers: int = 4, profile=None,
+                 routing: str = "terms"):
+        if routing not in ("terms", "rr"):
+            raise ValueError(f"unknown routing {routing!r}")
+        self.workers = [
+            SearchWorker.options(scheduling_strategy="SPREAD").remote(
+                index_dir, profile
+            )
+            for _ in range(n_workers)
+        ]
+        self.routing = routing
+        self._rr = 0
+
+    # -- routing ---------------------------------------------------------
+    def _pick(self, query: str) -> int:
+        if self.routing == "rr":
+            self._rr = (self._rr + 1) % len(self.workers)
+            return self._rr
+        key = " ".join(sorted(query.lower().split()))
+        return zlib.crc32(key.encode("utf-8")) % len(self.workers)
+
+    # -- API -------------------------------------------------------------
+    def search(self, query: str, k=None, method: str = "exact",
+               role=None) -> pa.Table:
+        ref = self.workers[self._pick(query)].search.remote(
+            query, k=k, method=method, role=role
+        )
+        return ray.get(ref)
+
+    def search_many(self, queries, k=None, method: str = "exact") -> list[pa.Table]:
+        """Submit every query at once (pipelined across the pool), gather
+        in submission order."""
+        refs = [
+            self.workers[self._pick(q)].search.remote(q, k=k, method=method)
+            for q in queries
+        ]
+        return ray.get(refs)
+
+    def cache_stats(self) -> list[dict]:
+        return ray.get([w.cache_stats.remote() for w in self.workers])
+
+    def shutdown(self) -> None:
+        for w in self.workers:
+            ray.kill(w)
+        self.workers = []

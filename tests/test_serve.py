@@ -1,0 +1,55 @@
+"""SearchService actor pool: result parity with a direct engine, both
+routing modes, concurrent batch submission."""
+
+import pyarrow as pa
+
+from searchengine_ray.pipelines.build import build_index
+from searchengine_ray.pipelines.search import QueryEngine
+from searchengine_ray.pipelines.serve import SearchService
+from searchengine_ray.sources.transcripts import write_synth_transcripts
+
+QUERIES = ["data spark", "fast merge table", "slow window dup", "key value"]
+
+
+def test_service_matches_direct_engine(tmp_path):
+    src, idx = str(tmp_path / "c"), str(tmp_path / "i")
+    write_synth_transcripts(src, n_files=2, n_convs=25, turns_per_conv=5, seed=23)
+    build_index(src, idx, profile="simple")
+    direct = QueryEngine(idx)
+    svc = SearchService(idx, n_workers=2, routing="terms")
+    try:
+        # single-query parity, both methods
+        for q in QUERIES:
+            want = direct.search(q, k=8)
+            assert svc.search(q, k=8).to_pandas().equals(want.to_pandas())
+            assert (
+                svc.search(q, k=8, method="wand").to_pandas().equals(want.to_pandas())
+            )
+        # batch submission returns results in order
+        got = svc.search_many(QUERIES * 3, k=8)
+        assert len(got) == len(QUERIES) * 3
+        for q, res in zip(QUERIES * 3, got):
+            assert isinstance(res, pa.Table)
+            assert res.to_pandas().equals(direct.search(q, k=8).to_pandas())
+        # term routing sent repeated queries to stable workers: the pool
+        # served queries and populated actor-side caches
+        stats = svc.cache_stats()
+        assert sum(s["chunks_cached"] for s in stats) > 0
+    finally:
+        svc.shutdown()
+
+
+def test_service_rr_routing(tmp_path):
+    src, idx = str(tmp_path / "c"), str(tmp_path / "i")
+    write_synth_transcripts(src, n_files=2, n_convs=10, turns_per_conv=4, seed=29)
+    build_index(src, idx, profile="simple")
+    direct = QueryEngine(idx)
+    svc = SearchService(idx, n_workers=2, routing="rr")
+    try:
+        q = "data value row"
+        want = direct.search(q, k=5).to_pandas()
+        # both workers serve the same answer
+        assert svc.search(q, k=5).to_pandas().equals(want)
+        assert svc.search(q, k=5).to_pandas().equals(want)
+    finally:
+        svc.shutdown()
