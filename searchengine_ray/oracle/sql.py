@@ -160,6 +160,24 @@ LIMIT 10
              WHERE term IN ('spark', 'merge', 'window', 'dup')""",
         "bm25_topk": _topk_sql("c.bm25"),
         "expanded_search": _topk_sql(blend, cand_cte=_CAND_WEIGHTED),
+        "conversation_search": SEARCH_PREFIX + ", " + _CAND + f""",
+scored AS (
+    SELECT c.conv_id, c.turn_idx, ({blend}) AS s FROM cand c),
+agg AS (
+    SELECT conv_id, max(floor(s * 1000000 + 0.5)) AS best_r,
+           count(*)::BIGINT AS n_turns_matched
+    FROM scored GROUP BY conv_id),
+best AS (
+    SELECT conv_id, turn_idx, s,
+           row_number() OVER (PARTITION BY conv_id
+               ORDER BY floor(s * 1000000 + 0.5) DESC, turn_idx) AS rn
+    FROM scored)
+SELECT a.conv_id, b.turn_idx AS best_turn_idx, a.n_turns_matched,
+       {sql_round_half_up('b.s', 4)} AS score
+FROM agg a JOIN best b ON b.conv_id = a.conv_id AND b.rn = 1
+ORDER BY a.best_r DESC, a.conv_id
+LIMIT 10
+""",
         "inner_topk": _topk_sql("c.inner_p"),
         "blend_topk": _topk_sql(blend),
         "role_filter_search": _topk_sql(

@@ -163,6 +163,14 @@ def q_rerank_search(sf_dir: str) -> pa.Table:
     return _round_score(rerank_by_embedding(eng, res, SEARCH_QUERY_TEXT))
 
 
+def q_conversation_search(sf_dir: str) -> pa.Table:
+    """Conversation-level retrieval: conv score = best turn's blend."""
+    from .search import ConversationSearch
+
+    eng = engine_for(sf_dir)
+    return _round_score(ConversationSearch(eng).search(SEARCH_QUERY_TEXT, k=10))
+
+
 def q_tfidf_doc_weights(sf_dir: str) -> pa.Table:
     eng = engine_for(sf_dir)
     idx = index_for(sf_dir)
@@ -191,6 +199,7 @@ SEARCH_CORE_QUERIES = {
     "role_filter_search": q_role_filter_search,
     "part_a_blend_topk": q_part_a_blend_topk,
     "expanded_search": q_expanded_search,
+    "conversation_search": q_conversation_search,
     "rerank_search": q_rerank_search,
     "tfidf_doc_weights": q_tfidf_doc_weights,
 }

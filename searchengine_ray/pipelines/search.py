@@ -381,3 +381,107 @@ def _empty_result() -> pa.Table:
             "score": pa.array([], pa.float64()),
         }
     )
+
+
+def _empty_conv_result() -> pa.Table:
+    return pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "best_turn_idx": pa.array([], pa.int32()),
+            "n_turns_matched": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
+
+class ConversationSearch:
+    """Conversation-level retrieval over the turn index.
+
+    A conversation's score is its best turn's blend score (max-agg — the
+    robust choice for long conversations, where sum-agg drowns relevance
+    in length).  Scoring reuses the turn engine; the conv aggregation is
+    a dictionary-encoded integer groupby over the candidate array (no
+    string ever touches the hot path), and only the winning conversations
+    have their conv_id strings materialized.
+    """
+
+    def __init__(self, engine: QueryEngine):
+        self.engine = engine
+
+    def search(self, query: str, k: int = 10, expander=None) -> pa.Table:
+        """→ (conv_id, best_turn_idx, n_turns_matched, score), ranked by
+        rounded score desc then conv_id; best turn = highest rounded turn
+        score, smallest turn_idx on ties."""
+        eng = self.engine
+        q = eng.parse_query(query, expander=expander)
+        if not q:
+            return _empty_conv_result()
+        ids, scores = eng._score_exact(q)
+        if not len(ids):
+            return _empty_conv_result()
+        rounded = round_half_up(scores, RANK_DECIMALS)
+        pos = eng.reader.doc_positions(ids)
+        codes, turn_col, conv_strings = eng.reader.conv_codes()
+        c = codes[pos].astype(np.int64)
+
+        # per-conversation aggregation over integer codes: max rounded
+        # score, count, and the best turn (max rounded, then min turn)
+        order = np.argsort(c, kind="stable")
+        cs = c[order]
+        grp_starts = np.flatnonzero(np.concatenate([[True], cs[1:] != cs[:-1]]))
+        uniq_codes = cs[grp_starts]
+        seg = np.repeat(np.arange(len(uniq_codes)), np.diff(np.append(grp_starts, len(cs))))
+        r_sorted = rounded[order]
+        s_sorted = scores[order]
+        best_r = np.full(len(uniq_codes), -np.inf)
+        np.maximum.at(best_r, seg, r_sorted)
+        counts = np.diff(np.append(grp_starts, len(cs)))
+
+        # the representative turn: among a conv's turns with rounded ==
+        # best, the smallest turn_idx; its unrounded score is the output
+        turns = turn_col[pos[order]]
+
+        # rank conversations: rounded max desc, then conv_id string asc —
+        # strings fetched only for the top set (k + rounded ties)
+        n = len(uniq_codes)
+        kk = min(k, n)
+        if kk < n:
+            thresh = np.partition(best_r, n - kk)[n - kk]
+            top = np.flatnonzero(best_r >= thresh)
+        else:
+            top = np.arange(n)
+        top_strings = conv_strings[uniq_codes[top]]
+        top_order = np.lexsort((top_strings, -best_r[top]))[:kk]
+        winners = top[top_order]
+
+        grp_ends = np.append(grp_starts, len(cs))
+        return self._finalize(
+            winners, grp_starts, grp_ends, uniq_codes, conv_strings,
+            counts, best_r, r_sorted, s_sorted, turns,
+        )
+
+    @staticmethod
+    def _finalize(winners, grp_starts, grp_ends, uniq_codes, conv_strings,
+                  counts, best_r, r_sorted, s_sorted, turns):
+        out_conv, out_turn, out_cnt, out_score = [], [], [], []
+        for w in winners:
+            w = int(w)
+            lo, hi = grp_starts[w], grp_ends[w + 1]
+            seg_r = r_sorted[lo:hi]
+            seg_t = turns[lo:hi]
+            seg_s = s_sorted[lo:hi]
+            best_mask = seg_r == best_r[w]
+            cand_turns = seg_t[best_mask]
+            j = int(np.argmin(cand_turns))
+            out_conv.append(conv_strings[uniq_codes[w]])
+            out_turn.append(int(cand_turns[j]))
+            out_cnt.append(int(counts[w]))
+            out_score.append(float(seg_s[best_mask][j]))
+        return pa.table(
+            {
+                "conv_id": pa.array(out_conv, pa.string()),
+                "best_turn_idx": pa.array(out_turn, pa.int32()),
+                "n_turns_matched": pa.array(out_cnt, pa.int64()),
+                "score": pa.array(out_score, pa.float64()),
+            }
+        )

@@ -24,6 +24,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
@@ -297,6 +298,40 @@ class IndexReader:
             if len(out[c]) and not isinstance(out[c][0], str):
                 out[c] = out[c].astype(np.int64)
         return out
+
+    def conv_codes(self):
+        """(conv codes int32, turn_idx int32, conversation strings), all
+        in dense-rank order: the conversation-structure columns needed by
+        conversation-level aggregation, dictionary-encoded so the hot
+        path touches only integers.  Two lazily-loaded integer columns
+        (+ the unique conv strings), NOT the full forward table; at
+        extreme scale these are per-shard columns owned by each serving
+        actor's doc range."""
+        if getattr(self, "_conv_codes", None) is None:
+            dm_dir = os.path.join(self.index_dir, "docmap")
+            if os.path.isdir(dm_dir):
+                files = sorted(os.listdir(dm_dir))
+                parts = [
+                    pq.read_table(os.path.join(dm_dir, f), columns=["conv_id", "turn_idx"])
+                    for f in files
+                ]
+                tbl = (
+                    pa.concat_tables(parts)
+                    if parts
+                    else pa.table({"conv_id": pa.array([], pa.string()),
+                                   "turn_idx": pa.array([], pa.int32())})
+                )
+            else:  # legacy layout: positions index the doc_id-sorted table
+                dm = self.docmap()
+                tbl = pa.table({"conv_id": pa.array(dm["conv_id"], pa.string()),
+                                "turn_idx": pa.array(dm["turn_idx"], pa.int32())})
+            enc = pc.dictionary_encode(tbl["conv_id"].combine_chunks())
+            self._conv_codes = (
+                enc.indices.to_numpy().astype(np.int32),
+                tbl["turn_idx"].to_numpy().astype(np.int32),
+                enc.dictionary.to_numpy(zero_copy_only=False),
+            )
+        return self._conv_codes
 
     def roles(self, positions) -> np.ndarray:
         """Role labels for candidate positions.  A single lazily-loaded

@@ -58,6 +58,34 @@ def test_wand_equals_exact(built):
             assert qe.search(q, k=k).equals(qe.search(q, k=k, method="wand"))
 
 
+def test_conversation_search_against_bruteforce(built):
+    """Conversation score = max turn blend; best turn = highest rounded
+    score then smallest turn_idx; ranking by rounded max then conv_id."""
+    from searchengine_ray.functions.rounding import round_half_up
+    from searchengine_ray.pipelines.search import ConversationSearch
+
+    _, idx, _ = built
+    qe = QueryEngine(idx)
+    for q in QUERIES:
+        turns = qe.search(q, k=10**9)  # every candidate turn, ranked
+        if turns.num_rows == 0:
+            continue
+        df = turns.to_pandas()
+        df["r"] = (np.floor(df.score * 1e6 + 0.5)).astype(np.int64)
+        best = (
+            df.sort_values(["conv_id", "r", "turn_idx"], ascending=[True, False, True])
+            .groupby("conv_id", as_index=False)
+            .first()
+        )
+        best["n"] = df.groupby("conv_id").size().reindex(best.conv_id).values
+        best = best.sort_values(["r", "conv_id"], ascending=[False, True]).head(5)
+        got = ConversationSearch(qe).search(q, k=5).to_pandas()
+        assert list(got.conv_id) == list(best.conv_id)
+        assert list(got.best_turn_idx) == list(best.turn_idx)
+        assert list(got.n_turns_matched) == list(best.n)
+        assert np.allclose(got.score, best.score)
+
+
 def test_default_k_rule(built):
     """k defaults to round(0.9·n_candidates) — reference ranker.py:38-40."""
     _, idx, _ = built
