@@ -185,6 +185,12 @@ LIMIT 10
             extra_join="JOIN transcripts t ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx",
             where="WHERE t.role = 'user'",
         ),
+        # BM25F-style field weighting: role weight (user 1.5 / assistant
+        # 1.0 / tool 0.25 — entry_queries.ROLE_BOOST) scales the turn score
+        "role_boost_search": _topk_sql(
+            f"(CASE t.role WHEN 'user' THEN 1.5 WHEN 'tool' THEN 0.25 ELSE 1.0 END) * ({blend})",
+            extra_join="JOIN transcripts t ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx",
+        ),
         "tfidf_doc_weights": SEARCH_PREFIX
         + f"""SELECT tf.conv_id, tf.turn_idx,
               {sql_round_half_up(f'sum(pow({_INNER_TERM}, 2))', 3)} AS doc_weight_sq

@@ -163,6 +163,17 @@ def q_rerank_search(sf_dir: str) -> pa.Table:
     return _round_score(rerank_by_embedding(eng, res, SEARCH_QUERY_TEXT))
 
 
+ROLE_BOOST = {"user": 1.5, "assistant": 1.0, "tool": 0.25}
+
+
+def q_role_boost_search(sf_dir: str) -> pa.Table:
+    """BM25F-style field weighting: role weight scales the turn score."""
+    eng = engine_for(sf_dir)
+    return _round_score(
+        eng.search(SEARCH_QUERY_TEXT, k=10, role_boost=ROLE_BOOST)
+    )
+
+
 def q_conversation_search(sf_dir: str) -> pa.Table:
     """Conversation-level retrieval: conv score = best turn's blend."""
     from .search import ConversationSearch
@@ -200,6 +211,7 @@ SEARCH_CORE_QUERIES = {
     "part_a_blend_topk": q_part_a_blend_topk,
     "expanded_search": q_expanded_search,
     "conversation_search": q_conversation_search,
+    "role_boost_search": q_role_boost_search,
     "rerank_search": q_rerank_search,
     "tfidf_doc_weights": q_tfidf_doc_weights,
 }

@@ -86,7 +86,8 @@ class QueryEngine:
     def search(self, query: str, k: int | None = None, method: str = "exact",
                role: str | None = None, expander=None,
                max_candidates: int | None = None,
-               anomaly_cut_std: float | None = None) -> pa.Table:
+               anomaly_cut_std: float | None = None,
+               role_boost: dict[str, float] | None = None) -> pa.Table:
         """→ pa.Table (conv_id, turn_idx:int32, score:float64), ranked.
 
         ``role`` restricts candidates to turns with that role (a metadata
@@ -96,17 +97,27 @@ class QueryEngine:
         — keep only the top-N candidates by score before ranking.
         ``anomaly_cut_std`` drops candidates scoring below
         mean − n·std (the reference's unused helper, ranker_glove.py:181-202).
+        ``role_boost`` is BM25F-style field weighting at the turn schema's
+        natural field granularity: each turn IS one field occurrence, so
+        the field weight multiplies the whole turn score (missing roles
+        default to weight 1).
         """
         q = self.parse_query(query, expander=expander)
         if not q:
             return _empty_result()
         # wand requires k (θ needs a target), no post-hoc candidate drop
-        # (role), and a profile without the cosine term (its Σw² factor
-        # is not covered by the per-term upper bounds)
-        if method == "wand" and k is not None and role is None and not self.profile.w_cosine:
+        # (role/boost), and a profile without the cosine term (its Σw²
+        # factor is not covered by the per-term upper bounds)
+        if (method == "wand" and k is not None and role is None
+                and role_boost is None and not self.profile.w_cosine):
             ids, scores = self._score_wand(q, k)
         else:
             ids, scores = self._score_exact(q)
+        if role_boost is not None and len(ids):
+            roles = self.reader.roles(self.reader.doc_positions(ids))
+            uniq, inv = np.unique(roles, return_inverse=True)
+            w_u = np.array([role_boost.get(r, 1.0) for r in uniq.tolist()])
+            scores = scores * w_u[inv]
         if max_candidates is not None and len(ids) > max_candidates:
             keep = np.argpartition(scores, -max_candidates)[-max_candidates:]
             ids, scores = ids[keep], scores[keep]

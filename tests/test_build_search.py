@@ -86,6 +86,25 @@ def test_conversation_search_against_bruteforce(built):
         assert np.allclose(got.score, best.score)
 
 
+def test_role_boost(built):
+    """role_boost multiplies each turn's score by its role's weight and
+    re-ranks; weight 1.0 for every role is a no-op."""
+    _, idx, _ = built
+    qe = QueryEngine(idx)
+    q = QUERIES[0]
+    base = qe.search(q, k=10**9).to_pandas()
+    noop = qe.search(q, k=10**9, role_boost={"user": 1.0}).to_pandas()
+    assert noop.equals(base)
+    boosted = qe.search(q, k=10**9, role_boost={"user": 2.0, "tool": 0.1}).to_pandas()
+    roles = pads.dataset(f"{idx}/docstats").to_table(
+        columns=["conv_id", "turn_idx", "role"]
+    ).to_pandas()
+    m = base.merge(roles, on=["conv_id", "turn_idx"])
+    m["want"] = m.score * m.role.map({"user": 2.0, "tool": 0.1}).fillna(1.0)
+    got = boosted.merge(m[["conv_id", "turn_idx", "want"]], on=["conv_id", "turn_idx"])
+    assert np.allclose(got.score, got.want)
+
+
 def test_default_k_rule(built):
     """k defaults to round(0.9·n_candidates) — reference ranker.py:38-40."""
     _, idx, _ = built
