@@ -218,3 +218,114 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_clusters: int = 16,
     parts = ds.map_batches(IVFScorer, fn_constructor_args=(ref, k),
                            batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
     return _final_topk(pa.Table.from_pandas(parts.to_pandas()), k)
+
+
+# ---------------------------------------------------------------------------
+# IVF with a persisted cluster-partitioned index (the 100 TB layout)
+# ---------------------------------------------------------------------------
+
+def ivf_build(sf_dir: str, ivf_dir: str, n_clusters: int = 16, seed: int = 99) -> str:
+    """Build the on-disk IVF index: vectors written as cluster-partitioned
+    parquet (one directory per coarse cell) plus the centroid matrix.
+    A probe-pruned search then READS only nprobe/n_clusters of the data —
+    partition pruning at the storage layer, which is what makes IVF an
+    index rather than a filter.  Same quantizer as ``ivf_topk`` (seeded
+    sample + k-means-lite), so results are identical for equal params."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    sample = _matrix(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).slice(0, 2048)
+    )
+    cent_n = _normalize(_kmeans_lite(sample, n_clusters, seed=seed))
+    ref = ray.put(cent_n)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch))
+        a = np.argmax(m @ ray.get(ref).T, axis=1).astype(np.int32)
+        # "cl" rides inside the files (partition_cols strips "cluster")
+        return batch.append_column("cl", pa.array(a, pa.int32())).append_column(
+            "cluster", pa.array(a, pa.int32())
+        )
+
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+    (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .write_parquet(ivf_dir, partition_cols=["cluster"])
+    )
+    with open(os.path.join(ivf_dir, "centroids.json"), "w") as f:
+        json.dump({"n_clusters": n_clusters, "centroids": cent_n.tolist()}, f)
+    return ivf_dir
+
+
+def ivf_search(ivf_dir: str, qids: np.ndarray, qmat: np.ndarray, k: int = 10,
+               nprobe: int = 4) -> pa.Table:
+    """Probe-pruned search over an ``ivf_build`` index: only the union of
+    the queries' nprobe closest cluster directories is read."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(ivf_dir, "centroids.json")) as f:
+        cent_n = np.asarray(json.load(f)["centroids"])
+    qn = _normalize(qmat)
+    probes = {
+        int(qid): set(np.argsort(-(qn[[i]] @ cent_n.T)[0])[:nprobe].tolist())
+        for i, qid in enumerate(qids)
+    }
+    import glob as _glob
+
+    needed = sorted(set().union(*probes.values()))
+    paths = [
+        f for c in needed
+        for f in sorted(_glob.glob(os.path.join(ivf_dir, f"cluster={c}", "*.parquet")))
+    ]
+    if not paths:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    ref = ray.put((qids, qmat, probes))
+
+    class ProbeScorer:
+        def __init__(self, ref, k):
+            self.qids, qmat, self.probes = ray.get(ref)
+            self.q = _normalize(qmat)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = batch["vec_id"].to_numpy()
+            cl = batch["cl"].to_numpy()
+            m = _normalize(_matrix(batch))
+            cos = m @ self.q.T
+            out_q, out_v, out_c = [], [], []
+            for j, qid in enumerate(self.qids):
+                mask = (vec_ids != qid) & np.isin(cl, list(self.probes[int(qid)]))
+                idx = np.flatnonzero(mask)
+                if not len(idx):
+                    continue
+                top = idx[np.argsort(-cos[idx, j], kind="stable")[: self.k]]
+                out_q.append(np.full(len(top), qid, dtype=np.int64))
+                out_v.append(vec_ids[top])
+                out_c.append(cos[top, j])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
+            return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                             "vec_id": pa.array(np.concatenate(out_v)),
+                             "cos": pa.array(np.concatenate(out_c))})
+
+    parts = (
+        rd.read_parquet(paths, columns=["vec_id", "embedding", "cl"])
+        .map_batches(ProbeScorer, fn_constructor_args=(ref, k),
+                     batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+    )
+    return _final_topk(pa.Table.from_pandas(parts.to_pandas()), k)

@@ -71,6 +71,18 @@ def q_ann_ivf_topk(sf_dir: str):
     return ann.ivf_topk(sf_dir, n_queries=5, k=10)
 
 
+def q_ann_ivf_partitioned(sf_dir: str):
+    """Probe-pruned search over the persisted cluster-partitioned index."""
+    import os
+
+    tag = os.path.normpath(sf_dir).replace("/", "_").strip("_")
+    ivf_dir = f"/tmp/searchengine_ray_ivf_{tag}"
+    if not os.path.exists(os.path.join(ivf_dir, "centroids.json")):
+        ann.ivf_build(sf_dir, ivf_dir)
+    qids, qmat = ann.load_queries(sf_dir, 5)
+    return ann.ivf_search(ivf_dir, qids, qmat, k=10)
+
+
 def q_embedding_dup_pairs(sf_dir: str):
     return ann.embedding_dup_pairs(sf_dir, max_id=300, threshold=0.35)
 
@@ -107,6 +119,7 @@ OPS_QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "multimodal_meta": q_multimodal_meta,
     "conversation_stats": q_conversation_stats,

@@ -178,6 +178,23 @@ def test_ann_ivf_recall():
     assert np.mean(recalls) >= 0.5  # nprobe=8 of 16 clusters on random vectors
 
 
+def test_ivf_partitioned_index(tmp_path):
+    """ivf_build writes one directory per coarse cell; ivf_search reads
+    only the probed cells and returns exactly ivf_topk's answer (same
+    quantizer seed)."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    ivf_dir = str(tmp_path / "ivf")
+    ann.ivf_build(sf, ivf_dir, n_clusters=8)
+    cells = [d for d in os.listdir(ivf_dir) if d.startswith("cluster=")]
+    assert 1 < len(cells) <= 8
+    qids, qmat = ann.load_queries(sf, 3)
+    got = ann.ivf_search(ivf_dir, qids, qmat, k=5, nprobe=2).to_pandas()
+    want = ann.ivf_topk(sf, n_queries=3, k=5, n_clusters=8, nprobe=2).to_pandas()
+    assert got.equals(want)
+
+
 def test_multimodal_stub(planted_dir):
     res = multimodal_meta(planted_dir).to_pandas()
     assert len(res) == 40
