@@ -1,0 +1,186 @@
+"""Incremental index updates: delta segments + multi-segment search.
+
+The reference rebuilds its index from scratch on any corpus change
+(``Part C/indexer.py`` has no append path).  At 100 TB a full rebuild
+per delivery is not viable, and the dense-rank postings layout cannot
+absorb new docs in place (ranks are global).  The standard answer is
+segments (the Lucene model): an append builds a SELF-CONTAINED delta
+index over only the new files, and search fans out across segments.
+
+Exactness: BM25/inner scores depend on corpus-level stats (N, avgdl,
+df).  ``MultiIndexEngine`` computes the GLOBAL stats by merging the
+segment dictionaries and injects them into every segment's reader
+(``IndexReader.df_override``), so each doc's score is computed with the
+same constants a full rebuild would use — a doc lives in exactly one
+segment, its per-term contributions are identical floats, and the
+merged ranking is therefore equal to the full rebuild's (asserted by
+``tests/test_incremental.py``).  The dictionary merge is
+vocabulary-sized driver work here; at extreme vocab it becomes a
+distributed groupby over the segment dictionaries with the merged map
+broadcast to the serving actors.
+
+Caveat (documented, inherent to segments): profiles whose dictionary
+folding is corpus-global (the reference P15 entity rule, I2 case
+folding) make folding decisions per segment, exactly as Lucene analyzes
+per segment; the ``simple`` profile is fold-free and append is exact.
+
+Compaction: ``compact_index`` rebuilds one index from all segment
+sources when the segment count grows — the periodic merge every
+segmented store needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.rounding import round_half_up
+from .build import build_index
+from .search import RANK_DECIMALS, QueryEngine, _empty_result
+
+
+def _segments_file(index_dir: str) -> str:
+    return os.path.join(index_dir, "segments.json")
+
+
+def segment_dirs(index_dir: str) -> list[str]:
+    """Base index + registered delta segments, in append order."""
+    out = [index_dir]
+    sf = _segments_file(index_dir)
+    if os.path.exists(sf):
+        with open(sf) as f:
+            for name in json.load(f)["segments"]:
+                out.append(os.path.join(index_dir, "segments", name))
+    return out
+
+
+def append_index(source: str, index_dir: str, profile: str = "simple",
+                 **build_kwargs) -> str:
+    """Append new input files as a delta segment.
+
+    Builds a self-contained index over ``source`` (the NEW files only)
+    under ``index_dir/segments/seg-NNN`` — reusing the whole resumable
+    build pipeline — and registers it.  Returns the segment path."""
+    sf = _segments_file(index_dir)
+    reg = {"segments": []}
+    if os.path.exists(sf):
+        with open(sf) as f:
+            reg = json.load(f)
+    name = f"seg-{len(reg['segments']):03d}"
+    seg_dir = os.path.join(index_dir, "segments", name)
+    build_index(source, seg_dir, profile=profile, **build_kwargs)
+    reg["segments"].append(name)
+    with open(sf + ".tmp", "w") as f:
+        json.dump(reg, f)
+    os.replace(sf + ".tmp", sf)
+    return seg_dir
+
+
+def compact_index(sources: list[str], out_dir: str, profile: str = "simple",
+                  **build_kwargs) -> str:
+    """Merge segments back into one index by rebuilding over all source
+    dirs (the periodic compaction of a segmented store)."""
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # build_index takes one source dir; a multi-dir compaction just
+    # passes the union via symlinked staging (cheap, no data copied)
+    stage = out_dir + ".staging"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for i, src in enumerate(sources):
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(os.path.abspath(src), f),
+                           os.path.join(stage, f"s{i:02d}_{f}"))
+    build_index(stage, out_dir, profile=profile, **build_kwargs)
+    shutil.rmtree(stage)
+    return out_dir
+
+
+class MultiIndexEngine:
+    """Search across a base index and its delta segments with globally
+    correct corpus statistics."""
+
+    def __init__(self, index_dir: str, profile=None):
+        self.engines = [QueryEngine(d, profile=profile) for d in segment_dirs(index_dir)]
+        # ---- global stats ------------------------------------------------
+        n_docs = sum(e.reader.meta["n_docs"] for e in self.engines)
+        total_len = sum(e.reader.meta["total_len"] for e in self.engines)
+        df: dict[str, int] = {}
+        for e in self.engines:
+            for t, (d, _cf, _sh) in e.reader._dict.items():
+                df[t] = df.get(t, 0) + d
+        avgdl = total_len / n_docs if n_docs else 0.0
+        for e in self.engines:
+            e.reader.n_docs = n_docs
+            e.reader.avgdl = avgdl
+            e.reader.df_override = df
+        self.n_docs = n_docs
+        self.df = df
+
+    # -- query -----------------------------------------------------------
+    def _resolve(self, query: str) -> dict[str, float]:
+        """Case resolution against the UNION vocabulary (what a merged
+        dictionary would contain), so segment-local gaps cannot drop a
+        query term the full rebuild would keep."""
+        e0 = self.engines[0]
+        if e0._ref_tok is not None:
+            counts, _ = e0._ref_tok.parse_sentence(query)
+            raw = {t: float(c) for t, c in counts.items()}
+        else:
+            from ..functions.tokenize import simple_tokenize_flat
+
+            _, flat = simple_tokenize_flat(pa.array([query], type=pa.string()))
+            raw = {}
+            for t in flat.to_pylist():
+                raw[t] = raw.get(t, 0.0) + 1.0
+        resolved: dict[str, float] = {}
+        for term, w in raw.items():
+            if term.lower() in self.df:
+                term = term.lower()
+            elif term.upper() in self.df:
+                term = term.upper()
+            else:
+                continue
+            resolved[term] = resolved.get(term, 0.0) + w
+        return resolved
+
+    def search(self, query: str, k: int | None = None) -> pa.Table:
+        q = self._resolve(query)
+        if not q:
+            return _empty_result()
+        parts = []
+        n_cand = 0
+        for e in self.engines:
+            q_seg = {t: w for t, w in q.items() if e.reader.has_term(t)}
+            if not q_seg:
+                continue
+            ids, scores = e._score_exact(q_seg)
+            n_cand += len(ids)
+            # explicit k: the global top-k is a subset of the union of
+            # per-segment top-k.  k=None: the default-k rule needs the
+            # GLOBAL candidate count, so keep every segment row (the full
+            # engine also materializes ~all rows for default-k).
+            parts.append(e._rank(ids, scores, k if k is not None else 10**18))
+        if not parts:
+            return _empty_result()
+        merged = pa.concat_tables(parts)
+        scores = merged["score"].to_numpy()
+        rounded = round_half_up(scores, RANK_DECIMALS)
+        conv = merged["conv_id"].to_numpy(zero_copy_only=False)
+        turn = merged["turn_idx"].to_numpy()
+        if k is None:
+            k = round(0.9 * n_cand)
+        k = max(min(k, merged.num_rows), 0)
+        order = np.lexsort((turn, conv, -rounded))[:k]
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[order], pa.string()),
+                "turn_idx": pa.array(turn[order].astype(np.int32), pa.int32()),
+                "score": pa.array(scores[order], pa.float64()),
+            }
+        )

@@ -97,6 +97,7 @@ def synth_transcripts(
     seed: int = 7,
     dup_fraction: float = 0.05,
     rich: bool = True,
+    conv_prefix: str = "",
 ) -> pa.Table:
     """Deterministic transcript corpus with the token shapes the reference
     parser special-cases.  ``dup_fraction`` of turns are exact copies of an
@@ -126,7 +127,7 @@ def synth_transcripts(
                         words.insert(0, "RT")
                 text = " ".join(words)
             all_texts.append(text)
-            conv_ids.append(f"sc{c:05d}")
+            conv_ids.append(f"{conv_prefix}sc{c:05d}")
             turn_idxs.append(t)
             roles.append(["user", "assistant", "tool"][i % 3])
             texts.append(text)

@@ -84,12 +84,18 @@ class IndexReader:
         self._full_postings = 0
         self._cache_postings = 0
         self.cache_max_postings = 20_000_000  # ~decoded entries held per reader
+        # corpus-stat overrides for multi-segment search: a segment scores
+        # with GLOBAL n_docs/avgdl/df so its scores merge bit-exactly with
+        # other segments' (pipelines/incremental.py sets these)
+        self.df_override: dict[str, int] | None = None
 
     # -- dictionary ------------------------------------------------------
     def has_term(self, term: str) -> bool:
         return term in self._dict
 
     def df(self, term: str) -> int:
+        if self.df_override is not None:
+            return self.df_override[term]
         return self._dict[term][0]
 
     def vocabulary(self):

@@ -1,0 +1,76 @@
+"""Delta segments: append + multi-segment search must equal a full
+rebuild over the union of the inputs (simple profile: fold-free, exact)."""
+
+import os
+import shutil
+
+import pytest
+
+from searchengine_ray.pipelines.build import build_index
+from searchengine_ray.pipelines.incremental import (
+    MultiIndexEngine,
+    append_index,
+    compact_index,
+    segment_dirs,
+)
+from searchengine_ray.pipelines.search import QueryEngine
+from searchengine_ray.sources.transcripts import write_synth_transcripts
+
+QUERIES = ["index shard merge", "token score rank", "cluster memory spill data"]
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    root = tmp_path_factory.mktemp("inc")
+    a, b, c = str(root / "a"), str(root / "b"), str(root / "c")
+    write_synth_transcripts(a, n_files=2, n_convs=20, turns_per_conv=6, seed=31,
+                            conv_prefix="a_")
+    write_synth_transcripts(b, n_files=2, n_convs=15, turns_per_conv=5, seed=37,
+                            conv_prefix="b_")
+    write_synth_transcripts(c, n_files=1, n_convs=10, turns_per_conv=4, seed=41,
+                            conv_prefix="c_")
+    # rename so the union staging has distinct pids per source
+    full = str(root / "full")
+    os.makedirs(full)
+    for i, src in enumerate((a, b, c)):
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, f), os.path.join(full, f"s{i:02d}_{f}"))
+    return root, a, b, c, full
+
+
+def test_append_matches_full_rebuild(corpora):
+    root, a, b, c, full = corpora
+    full_idx = str(root / "full_idx")
+    build_index(full, full_idx, profile="simple")
+    want = QueryEngine(full_idx)
+
+    base_idx = str(root / "base_idx")
+    build_index(a, base_idx, profile="simple")
+    append_index(b, base_idx, profile="simple")
+    append_index(c, base_idx, profile="simple")
+    assert len(segment_dirs(base_idx)) == 3
+    eng = MultiIndexEngine(base_idx)
+    assert eng.n_docs == want.reader.n_docs
+
+    for q in QUERIES:
+        for k in (5, 20, None):
+            got = eng.search(q, k=k).to_pandas()
+            exp = want.search(q, k=k).to_pandas()
+            assert got.equals(exp), (q, k)
+
+
+def test_compact_then_single_engine(corpora):
+    root, a, b, c, full = corpora
+    out = str(root / "compacted")
+    compact_index([a, b], out, profile="simple")
+    eng = QueryEngine(out)
+    # compacted index over a+b == multi-segment base(a)+seg(b)
+    base_idx = str(root / "base2_idx")
+    build_index(a, base_idx, profile="simple")
+    append_index(b, base_idx, profile="simple")
+    multi = MultiIndexEngine(base_idx)
+    for q in QUERIES:
+        assert multi.search(q, k=10).to_pandas().equals(
+            eng.search(q, k=10).to_pandas()
+        )
