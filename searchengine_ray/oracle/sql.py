@@ -160,6 +160,35 @@ LIMIT 10
              WHERE term IN ('spark', 'merge', 'window', 'dup')""",
         "bm25_topk": _topk_sql("c.bm25"),
         "expanded_search": _topk_sql(blend, cand_cte=_CAND_WEIGHTED),
+        "embedding_rerank_topk": SEARCH_PREFIX + ", " + _CAND + f""",
+top20 AS (
+    SELECT c.conv_id, c.turn_idx
+    FROM cand c
+    QUALIFY row_number() OVER (
+        ORDER BY floor(({blend}) * 1000000 + 0.5) DESC, c.conv_id, c.turn_idx
+    ) <= 20),
+docs AS (
+    SELECT conv_id, turn_idx,
+           row_number() OVER (ORDER BY conv_id, turn_idx) AS _ord,
+           (turn_idx * 50 + CAST(substr(conv_id, 6) AS BIGINT)) AS src_doc
+    FROM top20),
+ranked1 AS (
+    SELECT c.conv_id, c.turn_idx
+    FROM cand c
+    ORDER BY floor(({blend}) * 1000000 + 0.5) DESC, c.conv_id, c.turn_idx
+    LIMIT 1),
+qv AS (
+    SELECT CAST(e.embedding AS DOUBLE[]) AS qe
+    FROM ranked1 r
+    JOIN embeddings e
+      ON e.vec_id = r.turn_idx * 50 + CAST(substr(r.conv_id, 6) AS BIGINT))
+SELECT d.conv_id, d.turn_idx,
+       {sql_round_half_up('list_cosine_similarity(qv.qe, CAST(e.embedding AS DOUBLE[]))', 4)} AS cos
+FROM docs d JOIN embeddings e ON e.vec_id = d.src_doc CROSS JOIN qv
+ORDER BY floor(list_cosine_similarity(qv.qe, CAST(e.embedding AS DOUBLE[])) * 1000000 + 0.5) DESC,
+         d.conv_id, d.turn_idx
+LIMIT 10
+""",
         "conversation_search": SEARCH_PREFIX + ", " + _CAND + f""",
 scored AS (
     SELECT c.conv_id, c.turn_idx, ({blend}) AS s FROM cand c),

@@ -166,6 +166,50 @@ def q_rerank_search(sf_dir: str) -> pa.Table:
 ROLE_BOOST = {"user": 1.5, "assistant": 1.0, "tool": 0.25}
 
 
+def q_embedding_rerank_topk(sf_dir: str) -> pa.Table:
+    """Embedding rerank with a REAL vector table: blend top-20 turns are
+    re-scored by cosine against the #1 hit's embedding (more-like-this),
+    using the embeddings table keyed by the turns' source doc ids —
+    fully SQL-expressible, unlike the hash-vector rerank (Q12)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.transcripts import N_CONVS
+
+    eng = engine_for(sf_dir)
+    res = eng.search(SEARCH_QUERY_TEXT, k=20)
+    if res.num_rows == 0:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "turn_idx": pa.array([], pa.int32()),
+                         "cos": pa.array([], pa.float64())})
+    conv = res["conv_id"].to_pylist()
+    turn = res["turn_idx"].to_numpy().astype(np.int64)
+    src = turn * N_CONVS + np.array([int(c[5:]) for c in conv], dtype=np.int64)
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    dim = len(emb["embedding"][0])
+    mat = (
+        emb["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .astype(np.float64).reshape(-1, dim)
+    )
+    order = np.argsort(ids)
+    pos = order[np.searchsorted(ids[order], src)]
+    m = mat[pos]
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = m / norms[:, None]
+    cos = mn @ mn[0]
+    key = np.floor(cos * 1e6 + 0.5)
+    top = np.lexsort((turn, np.asarray(conv, dtype=object), -key))[:10]
+    return pa.table(
+        {
+            "conv_id": pa.array(np.asarray(conv, dtype=object)[top], pa.string()),
+            "turn_idx": pa.array(turn[top].astype(np.int32), pa.int32()),
+            "cos": pa.array(round_half_up(cos[top], 4), pa.float64()),
+        }
+    )
+
+
 def q_role_boost_search(sf_dir: str) -> pa.Table:
     """BM25F-style field weighting: role weight scales the turn score."""
     eng = engine_for(sf_dir)
@@ -212,6 +256,7 @@ SEARCH_CORE_QUERIES = {
     "expanded_search": q_expanded_search,
     "conversation_search": q_conversation_search,
     "role_boost_search": q_role_boost_search,
+    "embedding_rerank_topk": q_embedding_rerank_topk,
     "rerank_search": q_rerank_search,
     "tfidf_doc_weights": q_tfidf_doc_weights,
 }
