@@ -110,6 +110,35 @@ def ops_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": ngram_jaccard,
         "minhash_verified_pairs": ngram_jaccard,
+        # ---- composed curation pipeline --------------------------------
+        "curation": f"""
+            WITH f AS (
+                SELECT doc_id, md5(text) AS m,
+                       len({_WORDS})::BIGINT AS n_tokens,
+                       len(list_filter({_SPLIT}, x -> x IN ({_STOP})))::BIGINT AS stop_hits,
+                       length(text)::BIGINT AS n_chars,
+                       length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::BIGINT AS n_punct,
+                       len(list_filter({_SPLIT}, x -> x IN ({_marker_list('en')})))::BIGINT AS en_hits,
+                       len(list_filter({_SPLIT}, x -> x IN ({_marker_list('es')})))::BIGINT AS es_hits,
+                       len(list_filter({_SPLIT}, x -> x IN ({_marker_list('de')})))::BIGINT AS de_hits,
+                       len(list_filter({_SPLIT}, x -> x IN ({_marker_list('fr')})))::BIGINT AS fr_hits,
+                       regexp_matches(text, '{CJK_RE}') AS has_cjk
+                FROM documents),
+            l AS (
+                SELECT *, CASE WHEN has_cjk THEN 'zh'
+                               WHEN en_hits >= greatest(es_hits, de_hits, fr_hits, 1) THEN 'en'
+                               WHEN es_hits >= greatest(de_hits, fr_hits, 1) THEN 'es'
+                               WHEN de_hits >= greatest(fr_hits, 1) THEN 'de'
+                               WHEN fr_hits >= 1 THEN 'fr'
+                               ELSE 'und' END AS pred_lang
+                FROM f),
+            keep AS (SELECT md5(text) AS m, min(doc_id) AS k
+                     FROM documents GROUP BY 1)
+            SELECT l.doc_id, l.pred_lang, l.n_tokens,
+                   {r4(quality_raw, 4)} AS quality
+            FROM l JOIN keep ON keep.m = l.m AND keep.k = l.doc_id
+            WHERE l.pred_lang IN ('en') AND {r4(quality_raw, 4)} >= 0.55
+        """,
         # ---- similarity search -----------------------------------------
         "ann_cosine_topk": f"""
             WITH q AS (

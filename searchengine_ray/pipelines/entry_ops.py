@@ -87,6 +87,12 @@ def q_embedding_dup_pairs(sf_dir: str):
     return ann.embedding_dup_pairs(sf_dir, max_id=300, threshold=0.35)
 
 
+def q_curation(sf_dir: str):
+    from . import curation
+
+    return curation.curate(sf_dir, langs=("en",), min_quality=0.55)
+
+
 def q_multimodal_meta(sf_dir: str):
     return multimodal_meta(sf_dir)
 
@@ -121,6 +127,7 @@ OPS_QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "curation": q_curation,
     "multimodal_meta": q_multimodal_meta,
     "conversation_stats": q_conversation_stats,
     "conversation_text": q_conversation_text,

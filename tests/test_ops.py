@@ -178,6 +178,21 @@ def test_ann_ivf_recall():
     assert np.mean(recalls) >= 0.5  # nprobe=8 of 16 clusters on random vectors
 
 
+def test_curation_pipeline(planted_dir):
+    """Composed curation: dedup keeps the min-doc_id copy, language and
+    quality filters apply to the survivors."""
+    from searchengine_ray.pipelines import curation
+
+    res = curation.curate(planted_dir, langs=("en", "und"), min_quality=0.0).to_pandas()
+    ids = set(res.doc_id)
+    assert 1 in ids and 2 not in ids  # exact dup collapsed to keep-first
+    assert len(res) == 39
+    assert set(res.pred_lang) <= {"en", "und"}
+    strict = curation.curate(planted_dir, langs=("en",), min_quality=0.9).to_pandas()
+    assert set(strict.doc_id) <= ids
+    assert (strict.quality >= 0.9).all()
+
+
 def test_ivf_partitioned_index(tmp_path):
     """ivf_build writes one directory per coarse cell; ivf_search reads
     only the probed cells and returns exactly ivf_topk's answer (same
