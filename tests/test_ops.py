@@ -188,9 +188,13 @@ def test_curation_pipeline(planted_dir):
     assert 1 in ids and 2 not in ids  # exact dup collapsed to keep-first
     assert len(res) == 39
     assert set(res.pred_lang) <= {"en", "und"}
-    strict = curation.curate(planted_dir, langs=("en",), min_quality=0.9).to_pandas()
-    assert set(strict.doc_id) <= ids
-    assert (strict.quality >= 0.9).all()
+    # every planted doc scores exactly 0.8 (30 clean tokens): a 0.81
+    # threshold filters all, 0.8 keeps all
+    assert (res.quality == 0.8).all()
+    strict = curation.curate(planted_dir, langs=("en", "und"), min_quality=0.81).to_pandas()
+    assert len(strict) == 0
+    kept = curation.curate(planted_dir, langs=("en", "und"), min_quality=0.8).to_pandas()
+    assert set(kept.doc_id) == ids
 
 
 def test_ivf_partitioned_index(tmp_path):
