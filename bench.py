@@ -170,6 +170,7 @@ def run_once() -> dict:
             "query_p95_ms": round(p95 * 1000, 2),
             "query_p95_wand_ms": round(p95_wand * 1000, 2),
             "pool_qps": round(pool_qps, 1),
+            "stage_sec": stats.get("stage_sec", {}),
             "n_turns": n_turns,
             "n_terms": stats["n_terms"],
             "n_postings": stats["n_postings"],
