@@ -33,10 +33,14 @@ class SearchWorker:
     """One serving actor: engine construction (dictionary load, cache
     allocation) happens once here, queries reuse the warm state."""
 
-    def __init__(self, index_dir: str, profile=None):
+    def __init__(self, index_dir: str, profile=None, preload: bool = False):
         from .search import QueryEngine
 
         self.engine = QueryEngine(index_dir, profile=profile)
+        if preload:
+            # one bulk scan beats N cold per-term scans; first queries
+            # then hit warm caches instead of paying cold-fetch p95
+            self.engine.reader.preload()
 
     def search(self, query: str, k=None, method: str = "exact",
                role=None) -> pa.Table:
@@ -60,12 +64,12 @@ class SearchService:
     """
 
     def __init__(self, index_dir: str, n_workers: int = 4, profile=None,
-                 routing: str = "terms"):
+                 routing: str = "terms", preload: bool = False):
         if routing not in ("terms", "rr"):
             raise ValueError(f"unknown routing {routing!r}")
         self.workers = [
             SearchWorker.options(scheduling_strategy="SPREAD").remote(
-                index_dir, profile
+                index_dir, profile, preload
             )
             for _ in range(n_workers)
         ]

@@ -216,6 +216,42 @@ class IndexReader:
             self._cache_postings -= len(old[0])
             self._term_cis[t2].discard(c2)
 
+    def preload(self, terms=None) -> int:
+        """Bulk-warm the postings caches with ONE dataset scan instead of
+        a per-term scan per cold query — the serving-actor warmup path.
+        ``terms=None`` loads the whole dictionary (bounded by the cache
+        budget; highest-df terms are loaded last so they survive the
+        LRU).  Returns the number of chunks decoded."""
+        want = list(self._dict) if terms is None else [t for t in terms if t in self._dict]
+        want = [t for t in want if t not in self._meta_cache]
+        if not want:
+            return 0
+        want.sort(key=lambda t: self._dict[t][0])  # ascending df
+        flt = pads.field("term").isin(want)
+        tbl = self._postings_ds.to_table(
+            columns=["term", "chunk_idx", "doc_min", "doc_max", "max_ntf", "run"],
+            filter=flt,
+        )
+        n = 0
+        terms_col = tbl["term"].to_pylist()
+        order = sorted(range(len(terms_col)), key=lambda i: self._dict[terms_col[i]][0])
+        by_term: dict[str, list[int]] = {}
+        for i in order:
+            by_term.setdefault(terms_col[i], []).append(i)
+        for t, rows in by_term.items():
+            sub = tbl.take(pa.array(rows, pa.int64()))
+            self._put_meta(t, sub)
+            decoded = {
+                int(ci): decode_postings(run)
+                for ci, run in zip(sub["chunk_idx"].to_pylist(), sub["run"].to_pylist())
+            }
+            n += len(decoded)
+            with self._cache_lock:
+                for ci, p in decoded.items():
+                    self._cache_put(t, ci, p)
+        self.stats["chunks_decoded"] += n
+        return n
+
     def _term_chunks(self, term: str, columns, extra_filter=None):
         shard = self._dict[term][2] if term in self._dict else int(term_shard([term], self.n_shards)[0])
         flt = (pads.field("shard") == shard) & (pads.field("term") == term)

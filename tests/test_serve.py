@@ -39,6 +39,23 @@ def test_service_matches_direct_engine(tmp_path):
         svc.shutdown()
 
 
+def test_preload_parity(tmp_path):
+    """reader.preload() bulk-warms every term's chunks in one scan; the
+    warmed engine answers identically and never re-touches parquet."""
+    src, idx = str(tmp_path / "c"), str(tmp_path / "i")
+    write_synth_transcripts(src, n_files=2, n_convs=15, turns_per_conv=4, seed=43)
+    build_index(src, idx, profile="simple")
+    cold = QueryEngine(idx)
+    warm = QueryEngine(idx)
+    n = warm.reader.preload()
+    assert n > 0
+    assert warm.reader.preload() == 0  # idempotent
+    decoded_before = warm.reader.stats["chunks_decoded"]
+    for q in QUERIES:
+        assert warm.search(q, k=6).to_pandas().equals(cold.search(q, k=6).to_pandas())
+    assert warm.reader.stats["chunks_decoded"] == decoded_before
+
+
 def test_service_rr_routing(tmp_path):
     src, idx = str(tmp_path / "c"), str(tmp_path / "i")
     write_synth_transcripts(src, n_files=2, n_convs=10, turns_per_conv=4, seed=29)
