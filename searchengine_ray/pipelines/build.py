@@ -602,12 +602,17 @@ def compute_doc_weights(index_dir: str) -> str:
 
     with open(os.path.join(index_dir, "index_meta.json")) as f:
         n_docs = json.load(f)["n_docs"]
+    import ray
+
     dic = pads.dataset(os.path.join(index_dir, "dictionary")).to_table(columns=["term", "df"])
-    # term → global df lookup, broadcast to the weight tasks (small here;
-    # at 10^12 scale this becomes a chunks⋈dictionary join on term)
-    df_map = dict(zip(dic["term"].to_pylist(), dic["df"].to_pylist()))
+    # term → global df lookup: ray.put ONCE into the object store and
+    # fetched zero-copy-shared per worker — not a closure dict re-pickled
+    # into every task (at 10^12-term vocab this becomes a
+    # chunks⋈dictionary hash join on term instead)
+    df_ref = ray.put(dict(zip(dic["term"].to_pylist(), dic["df"].to_pylist())))
 
     def explode_w2(batch: pa.Table) -> pa.Table:
+        df_map = ray.get(df_ref)
         ids_all, w2_all = [], []
         for df, run in zip(
             (df_map[t] for t in batch["term"].to_pylist()), batch["run"].to_pylist()
