@@ -34,25 +34,41 @@ class SearchWorker:
     allocation) happens once here, queries reuse the warm state."""
 
     def __init__(self, index_dir: str, profile=None, preload: bool = False):
+        import os
+
         from .search import QueryEngine
 
-        self.engine = QueryEngine(index_dir, profile=profile)
+        if os.path.exists(os.path.join(index_dir, "segments.json")):
+            # appended index: serve across base + delta segments with
+            # globally-correct stats, no compaction required
+            from .incremental import MultiIndexEngine
+
+            self.engine = MultiIndexEngine(index_dir, profile=profile)
+            self._readers = [e.reader for e in self.engine.engines]
+        else:
+            self.engine = QueryEngine(index_dir, profile=profile)
+            self._readers = [self.engine.reader]
         if preload:
             # one bulk scan beats N cold per-term scans; first queries
             # then hit warm caches instead of paying cold-fetch p95
-            self.engine.reader.preload()
+            for r in self._readers:
+                r.preload()
 
     def search(self, query: str, k=None, method: str = "exact",
                role=None) -> pa.Table:
+        if len(self._readers) > 1:
+            # multi-segment engine: exact scoring only, no role filter yet
+            return self.engine.search(query, k=k)
         return self.engine.search(query, k=k, method=method, role=role)
 
     def cache_stats(self) -> dict:
-        r = self.engine.reader
-        return {
-            "chunks_cached": len(r._chunk_cache),
-            "cached_postings": r._cache_postings,
-            **r.stats,
-        }
+        out = {"chunks_cached": 0, "cached_postings": 0}
+        for r in self._readers:
+            out["chunks_cached"] += len(r._chunk_cache)
+            out["cached_postings"] += r._cache_postings
+            for k2, v in r.stats.items():
+                out[k2] = out.get(k2, 0) + v
+        return out
 
 
 class SearchService:

@@ -60,6 +60,26 @@ def test_append_matches_full_rebuild(corpora):
             assert got.equals(exp), (q, k)
 
 
+def test_serving_pool_over_segments(corpora):
+    """SearchService detects a segmented index and serves across base +
+    deltas with globally-correct stats."""
+    from searchengine_ray.pipelines.serve import SearchService
+
+    root, a, b, c, full = corpora
+    base_idx = str(root / "serve_idx")
+    build_index(a, base_idx, profile="simple")
+    append_index(b, base_idx, profile="simple")
+    direct = MultiIndexEngine(base_idx)
+    svc = SearchService(base_idx, n_workers=2, preload=True)
+    try:
+        for q in QUERIES:
+            assert svc.search(q, k=7).to_pandas().equals(
+                direct.search(q, k=7).to_pandas()
+            )
+    finally:
+        svc.shutdown()
+
+
 def test_compact_then_single_engine(corpora):
     root, a, b, c, full = corpora
     out = str(root / "compacted")
