@@ -1,8 +1,13 @@
 """Command-line entry points (own their Ray session, unlike the library).
 
-    python -m searchengine_ray.cli build  --source DIR --index DIR [--profile P]
-    python -m searchengine_ray.cli search --index DIR --query "..." [--k N] [--wand]
-    python -m searchengine_ray.cli batch  --index DIR --queries FILE --out results.csv
+    python -m searchengine_ray.cli build   --source DIR --index DIR [--profile P]
+    python -m searchengine_ray.cli append  --source DIR --index DIR [--profile P]
+    python -m searchengine_ray.cli compact --index DIR --sources DIR [DIR ...]
+    python -m searchengine_ray.cli search  --index DIR --query "..." [--k N] [--wand]
+    python -m searchengine_ray.cli batch   --index DIR --queries FILE --out results.csv
+
+``search`` transparently fans out across delta segments when the index
+has been appended to (segments.json present).
 """
 
 from __future__ import annotations
@@ -39,6 +44,16 @@ def main(argv=None) -> int:
     b.add_argument("--profile", default="simple")
     b.add_argument("--no-resume", action="store_true")
 
+    a2 = sub.add_parser("append", help="append new input files as a delta segment")
+    a2.add_argument("--source", required=True)
+    a2.add_argument("--index", required=True)
+    a2.add_argument("--profile", default="simple")
+
+    cp = sub.add_parser("compact", help="rebuild one index from segment sources")
+    cp.add_argument("--index", required=True, help="output index dir")
+    cp.add_argument("--sources", required=True, nargs="+")
+    cp.add_argument("--profile", default="simple")
+
     s = sub.add_parser("search", help="query an index")
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
@@ -65,9 +80,37 @@ def main(argv=None) -> int:
         ray.shutdown()
         return 0
 
+    if args.cmd == "append":
+        ray = _ray_session()
+        from .pipelines.incremental import append_index
+
+        seg = append_index(args.source, args.index, profile=args.profile)
+        print(json.dumps({"segment": seg}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "compact":
+        ray = _ray_session()
+        from .pipelines.incremental import compact_index
+
+        compact_index(args.sources, args.index, profile=args.profile)
+        print(json.dumps({"index": args.index}))
+        ray.shutdown()
+        return 0
+
     if args.cmd == "search":
+        from .pipelines.incremental import MultiIndexEngine, segment_dirs
         from .pipelines.search import QueryEngine
 
+        if len(segment_dirs(args.index)) > 1:
+            qe = MultiIndexEngine(args.index)
+            res = qe.search(args.query, k=args.k)
+            for c, t, sc in zip(
+                res["conv_id"].to_pylist(), res["turn_idx"].to_pylist(),
+                res["score"].to_pylist(),
+            ):
+                print(f"{c}\t{t}\t{sc:.6f}")
+            return 0
         qe = QueryEngine(args.index)
         res = qe.search(
             args.query, k=args.k,

@@ -42,6 +42,20 @@ def test_cli_search(built):
     assert float(score) > 0
 
 
+def test_cli_append_search(built):
+    root, idx = built
+    extra = str(root / "extra")
+    write_synth_transcripts(extra, n_files=1, n_convs=4, turns_per_conv=3,
+                            seed=9, conv_prefix="x_")
+    r = run_cli("append", "--source", extra, "--index", idx)
+    assert r.returncode == 0, r.stderr[-800:]
+    seg = json.loads(r.stdout.strip().splitlines()[-1])["segment"]
+    assert os.path.isdir(seg)
+    r = run_cli("search", "--index", idx, "--query", "index merge", "--k", "5")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert any("\t" in l for l in r.stdout.strip().splitlines())
+
+
 def test_cli_batch(built):
     root, idx = built
     qfile = root / "queries.tsv"
