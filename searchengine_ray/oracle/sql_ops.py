@@ -207,4 +207,37 @@ def ops_sql() -> dict[str, str]:
                    ((n_bytes * 7) % 480 + 1)::BIGINT AS height
             FROM m
         """,
+        "multimodal_resize": """
+            WITH m AS (
+                SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes
+                FROM documents),
+            d AS (
+                SELECT doc_id, (n_bytes % 640 + 1)::BIGINT AS width,
+                       ((n_bytes * 7) % 480 + 1)::BIGINT AS height
+                FROM m),
+            g AS (SELECT *, greatest(width, height) AS long_side FROM d)
+            SELECT doc_id, width, height,
+                   CASE WHEN long_side <= 256 THEN width
+                        ELSE greatest(1, (width * 256) // long_side) END::BIGINT AS out_w,
+                   CASE WHEN long_side <= 256 THEN height
+                        ELSE greatest(1, (height * 256) // long_side) END::BIGINT AS out_h
+            FROM g
+        """,
+        "multimodal_frames": """
+            WITH m AS (
+                SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes
+                FROM documents),
+            f AS (
+                SELECT doc_id, n_bytes,
+                       (n_bytes + 255) // 256 AS n_frames
+                FROM m),
+            s AS (
+                SELECT doc_id, n_bytes,
+                       unnest(range(0, ((n_frames + 1) // 2)::BIGINT)) AS local_idx
+                FROM f)
+            SELECT doc_id, (local_idx * 2)::BIGINT AS frame_idx,
+                   (local_idx * 2 * 256)::BIGINT AS frame_off,
+                   least(256, n_bytes - local_idx * 2 * 256)::BIGINT AS frame_len
+            FROM s
+        """,
     }

@@ -14,7 +14,7 @@ from . import ann
 from . import conversations
 from . import dedup
 from . import events
-from ..stages.multimodal import multimodal_meta
+from ..stages.multimodal import multimodal_meta, resized_meta, sample_frames
 
 
 def _cast_int64(ds, cols):
@@ -97,6 +97,14 @@ def q_multimodal_meta(sf_dir: str):
     return multimodal_meta(sf_dir)
 
 
+def q_multimodal_resize(sf_dir: str):
+    return resized_meta(sf_dir, max_side=256)
+
+
+def q_multimodal_frames(sf_dir: str):
+    return sample_frames(sf_dir, frame_size=256, every=2)
+
+
 def q_conversation_stats(sf_dir: str):
     return conversations.conversation_stats(sf_dir)
 
@@ -129,6 +137,8 @@ OPS_QUERIES = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "curation": q_curation,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
     "conversation_stats": q_conversation_stats,
     "conversation_text": q_conversation_text,
     "events_windowed": q_events_windowed,

@@ -81,3 +81,85 @@ def multimodal_meta(sf_dir: str):
         batch_size=1024,  # small batches: binary rows are wide
         concurrency=(1, 4),
     )
+
+
+class ResizeStage:
+    """Image-resize planning stage (actor pool).  The geometry — target
+    dims preserving aspect ratio, bounded by ``max_side`` — is computed
+    for real; the pixel work is where a Pillow ``img.resize`` call goes
+    (``mode="real"`` raises there, as in ``DecodeStage``)."""
+
+    def __init__(self, max_side: int = 256, mode: str = "fake"):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.max_side = max_side
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "real":
+            raise NotImplementedError("real resize requires Pillow")
+        w = batch["width"].to_numpy()
+        h = batch["height"].to_numpy()
+        long_side = np.maximum(w, h)
+        # integer floor scaling, no upscale (scale clamps at 1.0)
+        out_w = np.where(long_side <= self.max_side, w,
+                         np.maximum(1, (w * self.max_side) // long_side))
+        out_h = np.where(long_side <= self.max_side, h,
+                         np.maximum(1, (h * self.max_side) // long_side))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "out_w": pa.array(out_w.astype(np.int64), pa.int64()),
+                "out_h": pa.array(out_h.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def resized_meta(sf_dir: str, max_side: int = 256):
+    """decode-stub dims → resize plan (chained actor-pool stages)."""
+    return multimodal_meta(sf_dir).map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"max_side": max_side},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+    )
+
+
+def sample_frames(sf_dir: str, frame_size: int = 256, every: int = 2):
+    """Video-style frame sampling over the opaque payload: the payload is
+    cut into ``frame_size``-byte frames and every ``every``-th frame is
+    emitted as its own row (doc_id, frame_idx, frame_off, frame_len) —
+    the 1→N row expansion + byte-slicing plumbing a real frame sampler
+    needs, with the ffmpeg decode left to the ``DecodeStage`` stub
+    boundary.  Fully vectorized (repeat + arange, no per-row loop)."""
+    import ray.data as rd
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n_bytes = np.array(
+            [len(p) for p in batch["payload"].to_pylist()], dtype=np.int64
+        )
+        n_frames = (n_bytes + frame_size - 1) // frame_size
+        n_sampled = (n_frames + every - 1) // every
+        doc = np.repeat(batch["doc_id"].to_numpy(), n_sampled)
+        starts = np.concatenate([[0], np.cumsum(n_sampled)[:-1]])
+        local = np.arange(int(n_sampled.sum()), dtype=np.int64) - np.repeat(starts, n_sampled)
+        fidx = local * every
+        off = fidx * frame_size
+        total = np.repeat(n_bytes, n_sampled)
+        flen = np.minimum(frame_size, total - off)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "frame_off": pa.array(off, pa.int64()),
+                "frame_len": pa.array(flen, pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(synth_payload_batch, batch_format="pyarrow").map_batches(
+        expand, batch_format="pyarrow", batch_size=1024
+    )

@@ -214,6 +214,24 @@ def test_ivf_partitioned_index(tmp_path):
     assert got.equals(want)
 
 
+def test_multimodal_resize_and_frames(planted_dir):
+    from searchengine_ray.stages.multimodal import resized_meta, sample_frames
+
+    rz = resized_meta(planted_dir, max_side=100).to_pandas()
+    assert (rz[["out_w", "out_h"]].max(axis=1) <= 100).all()
+    assert (rz.out_w >= 1).all() and (rz.out_h >= 1).all()
+    # no upscale: small images keep their dims
+    small = rz[(rz.width <= 100) & (rz.height <= 100)]
+    assert (small.out_w == small.width).all()
+
+    fr = sample_frames(planted_dir, frame_size=64, every=3).to_pandas()
+    assert (fr.frame_idx % 3 == 0).all()
+    assert (fr.frame_off == fr.frame_idx * 64).all()
+    assert (fr.frame_len > 0).all() and (fr.frame_len <= 64).all()
+    # every doc contributes at least its frame 0
+    assert set(fr[fr.frame_idx == 0].doc_id) == set(range(40))
+
+
 def test_multimodal_stub(planted_dir):
     res = multimodal_meta(planted_dir).to_pandas()
     assert len(res) == 40
