@@ -82,6 +82,25 @@ cand AS (
 """
 
 
+# conjunctive variant: only docs matching EVERY resolved query term
+# (count(*) over the tf join = matched-term count; the subquery counts
+# the query terms that exist in the corpus at all, = Ray's resolved set)
+_CAND_ALL = f"""
+qterms(term) AS (VALUES {_QTERMS}),
+cand AS (
+    SELECT tf.conv_id, tf.turn_idx,
+           sum({_BM25_TERM}) AS bm25,
+           sum({_INNER_TERM}) AS inner_p
+    FROM tf
+    JOIN qterms q ON tf.term = q.term
+    JOIN df d ON d.term = tf.term
+    JOIN docstats ds ON ds.conv_id = tf.conv_id AND ds.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY tf.conv_id, tf.turn_idx
+    HAVING count(*) = (SELECT count(*) FROM qterms q2 JOIN df d2 ON d2.term = q2.term)
+)
+"""
+
 _CAND_WEIGHTED = f"""
 qterms(term, w) AS (VALUES {_QTERMS_EXPANDED}),
 cand AS (
@@ -160,6 +179,7 @@ LIMIT 10
              WHERE term IN ('spark', 'merge', 'window', 'dup')""",
         "bm25_topk": _topk_sql("c.bm25"),
         "expanded_search": _topk_sql(blend, cand_cte=_CAND_WEIGHTED),
+        "conjunctive_topk": _topk_sql(blend, cand_cte=_CAND_ALL),
         "embedding_rerank_topk": SEARCH_PREFIX + ", " + _CAND + f""",
 top20 AS (
     SELECT c.conv_id, c.turn_idx

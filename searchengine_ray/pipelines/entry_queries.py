@@ -218,6 +218,12 @@ def q_role_boost_search(sf_dir: str) -> pa.Table:
     )
 
 
+def q_conjunctive_topk(sf_dir: str) -> pa.Table:
+    """AND semantics: only turns containing every resolved query term."""
+    eng = engine_for(sf_dir)
+    return _round_score(eng.search(SEARCH_QUERY_TEXT, k=10, match_mode="all"))
+
+
 def q_conversation_search(sf_dir: str) -> pa.Table:
     """Conversation-level retrieval: conv score = best turn's blend."""
     from .search import ConversationSearch
@@ -257,6 +263,7 @@ SEARCH_CORE_QUERIES = {
     "conversation_search": q_conversation_search,
     "role_boost_search": q_role_boost_search,
     "embedding_rerank_topk": q_embedding_rerank_topk,
+    "conjunctive_topk": q_conjunctive_topk,
     "rerank_search": q_rerank_search,
     "tfidf_doc_weights": q_tfidf_doc_weights,
 }

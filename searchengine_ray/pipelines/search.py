@@ -87,7 +87,8 @@ class QueryEngine:
                role: str | None = None, expander=None,
                max_candidates: int | None = None,
                anomaly_cut_std: float | None = None,
-               role_boost: dict[str, float] | None = None) -> pa.Table:
+               role_boost: dict[str, float] | None = None,
+               match_mode: str = "any") -> pa.Table:
         """→ pa.Table (conv_id, turn_idx:int32, score:float64), ranked.
 
         ``role`` restricts candidates to turns with that role (a metadata
@@ -101,18 +102,25 @@ class QueryEngine:
         natural field granularity: each turn IS one field occurrence, so
         the field weight multiplies the whole turn score (missing roles
         default to weight 1).
+        ``match_mode="all"`` keeps only conjunctive matches — docs
+        containing EVERY resolved query term (the reference is OR-only).
         """
+        if match_mode not in ("any", "all"):
+            raise ValueError(f"unknown match_mode {match_mode!r}")
         q = self.parse_query(query, expander=expander)
         if not q:
             return _empty_result()
         # wand requires k (θ needs a target), no post-hoc candidate drop
-        # (role/boost), and a profile without the cosine term (its Σw²
-        # factor is not covered by the per-term upper bounds)
+        # (role/boost/conjunction), and a profile without the cosine term
+        # (its Σw² factor is not covered by the per-term upper bounds)
         if (method == "wand" and k is not None and role is None
-                and role_boost is None and not self.profile.w_cosine):
+                and role_boost is None and match_mode == "any"
+                and not self.profile.w_cosine):
             ids, scores = self._score_wand(q, k)
         else:
             ids, scores = self._score_exact(q)
+        if match_mode == "all" and len(ids):
+            ids, scores = self._conjunctive_filter(q, ids, scores)
         if role_boost is not None and len(ids):
             roles = self.reader.roles(self.reader.doc_positions(ids))
             uniq, inv = np.unique(roles, return_inverse=True)
@@ -125,6 +133,20 @@ class QueryEngine:
             keep = scores >= scores.mean() - anomaly_cut_std * scores.std()
             ids, scores = ids[keep], scores[keep]
         return self._rank(ids, scores, k, role=role)
+
+    # ------------------------------------------------------------------
+    def _conjunctive_filter(self, q: dict, ids: np.ndarray, scores: np.ndarray):
+        """Keep candidates matched by EVERY query term (match counts via
+        the cached per-term id arrays — one searchsorted per term)."""
+        counts = np.zeros(len(ids), dtype=np.int64)
+        for t in q:
+            t_ids = self._term_static(t)[0]
+            pos = np.searchsorted(t_ids, ids)
+            pos_ok = np.clip(pos, 0, max(len(t_ids) - 1, 0))
+            if len(t_ids):
+                counts += (t_ids[pos_ok] == ids).astype(np.int64)
+        keep = counts == len(q)
+        return ids[keep], scores[keep]
 
     # ------------------------------------------------------------------
     def _fetch_postings(self, terms: list[str]) -> dict:

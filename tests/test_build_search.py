@@ -86,6 +86,28 @@ def test_conversation_search_against_bruteforce(built):
         assert np.allclose(got.score, best.score)
 
 
+def test_conjunctive_match(built):
+    """match_mode='all' keeps exactly the docs every term matches, with
+    unchanged scores; single-term queries are unaffected."""
+    _, idx, _ = built
+    qe = QueryEngine(idx)
+    q = QUERIES[0]
+    union = qe.search(q, k=10**9).to_pandas()
+    conj = qe.search(q, k=10**9, match_mode="all").to_pandas()
+    assert len(conj) <= len(union)
+    merged = conj.merge(union, on=["conv_id", "turn_idx"], suffixes=("", "_u"))
+    assert len(merged) == len(conj)
+    assert np.allclose(merged.score, merged.score_u)
+    # recompute membership by intersecting per-term postings
+    terms = list(qe.parse_query(q))
+    sets = [set(qe.reader.postings(t)[0].tolist()) for t in terms]
+    inter = set.intersection(*sets) if sets else set()
+    assert len(conj) == len(inter)
+    one = qe.search(terms[0], k=10**9).to_pandas()
+    one_all = qe.search(terms[0], k=10**9, match_mode="all").to_pandas()
+    assert one.equals(one_all)
+
+
 def test_role_boost(built):
     """role_boost multiplies each turn's score by its role's weight and
     re-ranks; weight 1.0 for every role is a no-op."""
