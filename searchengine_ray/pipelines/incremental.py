@@ -149,23 +149,38 @@ class MultiIndexEngine:
             resolved[term] = resolved.get(term, 0.0) + w
         return resolved
 
-    def search(self, query: str, k: int | None = None) -> pa.Table:
+    def search(self, query: str, k: int | None = None, role: str | None = None,
+               role_boost: dict[str, float] | None = None,
+               match_mode: str = "any") -> pa.Table:
+        if match_mode not in ("any", "all"):
+            raise ValueError(f"unknown match_mode {match_mode!r}")
         q = self._resolve(query)
         if not q:
             return _empty_result()
         parts = []
-        n_cand = 0
         for e in self.engines:
             q_seg = {t: w for t, w in q.items() if e.reader.has_term(t)}
             if not q_seg:
                 continue
+            if match_mode == "all" and len(q_seg) < len(q):
+                # a globally-resolved term is wholly absent from this
+                # segment: none of its docs can match ALL terms
+                continue
             ids, scores = e._score_exact(q_seg)
-            n_cand += len(ids)
+            if match_mode == "all" and len(ids):
+                ids, scores = e._conjunctive_filter(q_seg, ids, scores)
+            if role_boost is not None and len(ids):
+                roles = e.reader.roles(e.reader.doc_positions(ids))
+                uniq, inv = np.unique(roles, return_inverse=True)
+                w_u = np.array([role_boost.get(r, 1.0) for r in uniq.tolist()])
+                scores = scores * w_u[inv]
             # explicit k: the global top-k is a subset of the union of
             # per-segment top-k.  k=None: the default-k rule needs the
-            # GLOBAL candidate count, so keep every segment row (the full
-            # engine also materializes ~all rows for default-k).
-            parts.append(e._rank(ids, scores, k if k is not None else 10**18))
+            # GLOBAL candidate count (after the role filter), so keep
+            # every segment row (the full engine also materializes ~all
+            # rows for default-k).
+            parts.append(e._rank(ids, scores, k if k is not None else 10**18,
+                                 role=role))
         if not parts:
             return _empty_result()
         merged = pa.concat_tables(parts)
@@ -174,7 +189,7 @@ class MultiIndexEngine:
         conv = merged["conv_id"].to_numpy(zero_copy_only=False)
         turn = merged["turn_idx"].to_numpy()
         if k is None:
-            k = round(0.9 * n_cand)
+            k = round(0.9 * merged.num_rows)
         k = max(min(k, merged.num_rows), 0)
         order = np.lexsort((turn, conv, -rounded))[:k]
         return pa.table(

@@ -59,6 +59,22 @@ def test_append_matches_full_rebuild(corpora):
             exp = want.search(q, k=k).to_pandas()
             assert got.equals(exp), (q, k)
 
+    # extended modes stay bit-exact with the full rebuild too
+    boost = {"user": 2.0, "tool": 0.3}
+    for q in QUERIES:
+        assert eng.search(q, k=12, role="user").to_pandas().equals(
+            want.search(q, k=12, role="user").to_pandas()
+        )
+        assert eng.search(q, k=12, role_boost=boost).to_pandas().equals(
+            want.search(q, k=12, role_boost=boost).to_pandas()
+        )
+        assert eng.search(q, k=12, match_mode="all").to_pandas().equals(
+            want.search(q, k=12, match_mode="all").to_pandas()
+        )
+        assert eng.search(q, k=None, role="assistant").to_pandas().equals(
+            want.search(q, k=None, role="assistant").to_pandas()
+        )
+
 
 def test_serving_pool_over_segments(corpora):
     """SearchService detects a segmented index and serves across base +
