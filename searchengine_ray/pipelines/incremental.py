@@ -65,14 +65,16 @@ def append_index(source: str, index_dir: str, profile: str = "simple",
     under ``index_dir/segments/seg-NNN`` — reusing the whole resumable
     build pipeline — and registers it.  Returns the segment path."""
     sf = _segments_file(index_dir)
-    reg = {"segments": []}
+    reg = {"segments": [], "sources": {}}
     if os.path.exists(sf):
         with open(sf) as f:
             reg = json.load(f)
+        reg.setdefault("sources", {})
     name = f"seg-{len(reg['segments']):03d}"
     seg_dir = os.path.join(index_dir, "segments", name)
     build_index(source, seg_dir, profile=profile, **build_kwargs)
     reg["segments"].append(name)
+    reg["sources"][name] = os.path.abspath(source)
     with open(sf + ".tmp", "w") as f:
         json.dump(reg, f)
     os.replace(sf + ".tmp", sf)
@@ -98,7 +100,59 @@ def compact_index(sources: list[str], out_dir: str, profile: str = "simple",
                            os.path.join(stage, f"s{i:02d}_{f}"))
     build_index(stage, out_dir, profile=profile, **build_kwargs)
     shutil.rmtree(stage)
+    # record the TRUE sources: the staging dir is gone, and a later
+    # compaction cycle needs real paths, not dead symlink lineage
+    with open(os.path.join(out_dir, "compaction_sources.json"), "w") as f:
+        json.dump({"sources": [os.path.abspath(s) for s in sources]}, f)
     return out_dir
+
+
+def _index_sources(index_dir: str) -> list[str]:
+    """Original input dirs of base + segments (base from the build
+    manifest's partition lineage, segments from the registry)."""
+    cs = os.path.join(index_dir, "compaction_sources.json")
+    if os.path.exists(cs):
+        with open(cs) as f:
+            base = list(json.load(f)["sources"])
+    else:
+        with open(os.path.join(index_dir, "build_manifest.json")) as f:
+            man = json.load(f)
+        base = sorted(
+            {os.path.dirname(rec["lineage"]["path"]) for rec in man["partitions"].values()}
+        )
+    sf = _segments_file(index_dir)
+    if os.path.exists(sf):
+        with open(sf) as f:
+            reg = json.load(f)
+        for name in reg["segments"]:
+            src = reg.get("sources", {}).get(name)
+            if src is None:
+                raise ValueError(
+                    f"segment {name} has no recorded source; cannot compact"
+                )
+            base.append(src)
+    return base
+
+
+def maybe_compact(index_dir: str, max_segments: int = 4, profile: str = "simple",
+                  **build_kwargs) -> bool:
+    """Compaction policy: when the delta-segment count exceeds
+    ``max_segments``, rebuild base+segments into one index and swap it in
+    atomically (build → rename; the old index stays intact until the new
+    one is complete).  Returns True when a compaction ran."""
+    import shutil
+
+    if len(segment_dirs(index_dir)) - 1 <= max_segments:
+        return False
+    sources = _index_sources(index_dir)
+    new_dir = index_dir + ".compacting"
+    compact_index(sources, new_dir, profile=profile, **build_kwargs)
+    old_dir = index_dir + ".old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.replace(index_dir, old_dir)
+    os.replace(new_dir, index_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return True
 
 
 class MultiIndexEngine:

