@@ -56,6 +56,32 @@ def test_preload_parity(tmp_path):
     assert warm.reader.stats["chunks_decoded"] == decoded_before
 
 
+def test_batch_search_distributed(tmp_path):
+    """batch_search streams a queries table through an actor pool and
+    matches per-query direct-engine results."""
+    import pyarrow as pa_
+
+    from searchengine_ray.pipelines.search_batch import batch_search
+
+    src, idx = str(tmp_path / "c"), str(tmp_path / "i")
+    write_synth_transcripts(src, n_files=2, n_convs=20, turns_per_conv=5, seed=51)
+    build_index(src, idx, profile="simple")
+    direct = QueryEngine(idx)
+    queries = pa_.table(
+        {
+            "query_id": pa_.array([f"q{i}" for i in range(len(QUERIES) * 3)]),
+            "keywords": pa_.array(QUERIES * 3),
+        }
+    )
+    out = batch_search(idx, queries, k=6).to_pandas()
+    for qid, kw in zip(queries["query_id"].to_pylist(), queries["keywords"].to_pylist()):
+        got = out[out.query_id == qid].sort_values("rank")
+        want = direct.search(kw, k=6).to_pandas()
+        assert list(got.conv_id) == list(want.conv_id)
+        assert list(got.turn_idx) == list(want.turn_idx)
+        assert list(got["rank"]) == list(range(1, len(want) + 1))
+
+
 def test_service_rr_routing(tmp_path):
     src, idx = str(tmp_path / "c"), str(tmp_path / "i")
     write_synth_transcripts(src, n_files=2, n_convs=10, turns_per_conv=4, seed=29)
