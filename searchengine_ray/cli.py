@@ -123,19 +123,27 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "batch":
-        from .pipelines.search import QueryEngine
+        ray = _ray_session()
+        from .pipelines.search_batch import batch_search
         from .sources.queries_file import read_queries_tsv, write_results_csv
 
-        qe = QueryEngine(args.index)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         queries = read_queries_tsv(args.queries)
-        results = {
-            qid: qe.search(kw, k=args.k)
-            for qid, kw in zip(
-                queries["query_id"].to_pylist(), queries["keywords"].to_pylist()
-            )
-        }
+        refs = batch_search(args.index, queries, k=args.k).to_arrow_refs()
+        tbls = [t for t in ray.get(refs) if t.num_rows]
+        flat = pa.concat_tables(tbls) if tbls else None
+        results = {}
+        for qid in queries["query_id"].to_pylist():
+            if flat is None:
+                continue
+            sub = flat.filter(pc.equal(flat["query_id"], qid))
+            order = pc.sort_indices(sub, sort_keys=[("rank", "ascending")])
+            results[qid] = sub.take(order).select(["conv_id", "turn_idx", "score"])
         write_results_csv(args.out, results)
         print(f"wrote {args.out} ({len(results)} queries)")
+        ray.shutdown()
         return 0
     return 1
 
