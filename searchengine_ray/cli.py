@@ -103,8 +103,9 @@ def main(argv=None) -> int:
         from .pipelines.search import QueryEngine
 
         if len(segment_dirs(args.index)) > 1:
+            # segmented: exact scoring (--wand degrades to exact), --role kept
             qe = MultiIndexEngine(args.index)
-            res = qe.search(args.query, k=args.k)
+            res = qe.search(args.query, k=args.k, role=args.role)
             for c, t, sc in zip(
                 res["conv_id"].to_pylist(), res["turn_idx"].to_pylist(),
                 res["score"].to_pylist(),
@@ -127,20 +128,29 @@ def main(argv=None) -> int:
         from .pipelines.search_batch import batch_search
         from .sources.queries_file import read_queries_tsv, write_results_csv
 
+        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
 
         queries = read_queries_tsv(args.queries)
         refs = batch_search(args.index, queries, k=args.k).to_arrow_refs()
         tbls = [t for t in ray.get(refs) if t.num_rows]
-        flat = pa.concat_tables(tbls) if tbls else None
         results = {}
-        for qid in queries["query_id"].to_pylist():
-            if flat is None:
-                continue
-            sub = flat.filter(pc.equal(flat["query_id"], qid))
-            order = pc.sort_indices(sub, sort_keys=[("rank", "ascending")])
-            results[qid] = sub.take(order).select(["conv_id", "turn_idx", "score"])
+        if tbls:
+            # one global sort + group slicing (not a filter per query id)
+            flat = pa.concat_tables(tbls)
+            order = pc.sort_indices(
+                flat, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]
+            )
+            flat = flat.take(order)
+            qcol = flat["query_id"].to_numpy(zero_copy_only=False)
+            bounds = np.flatnonzero(
+                np.concatenate([[True], qcol[1:] != qcol[:-1]])
+            ).tolist() + [len(qcol)]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                results[qcol[s]] = flat.slice(s, e - s).select(
+                    ["conv_id", "turn_idx", "score"]
+                )
         write_results_csv(args.out, results)
         print(f"wrote {args.out} ({len(results)} queries)")
         ray.shutdown()

@@ -252,26 +252,13 @@ def _simple_words(text: str) -> list[str]:
     return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
 
 
-def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
-                      verify: bool = False, shingle: int = 3, max_block: int = 200):
-    """→ (doc_a, doc_b, est_jaccard[, jaccard]) from banded LSH candidates,
-    scored by signature agreement (est_jaccard = matching minhashes /
-    n_hashes).  The agreement check is distributed: candidate pairs stay
-    a Dataset, the O(candidates) signatures they touch are fetched via a
-    broadcast id filter, and scoring runs vectorized in ``map_batches``.
-    ``verify=True`` additionally recomputes the EXACT shingle Jaccard
-    for surviving pairs (reading only those docs via predicate pushdown
-    — candidates are few by construction)."""
-    import ray
-    import ray.data as rd
+def _lsh_candidates(sigs, bands: int, max_block: int, n_hashes: int = 128):
+    """Banded LSH candidate generation over a materialized signature
+    Dataset → deduped candidate-pair Dataset (doc_a, doc_b, n_bands).
+    Shared by the estimate-scored and the exact-verified pipelines so
+    both propose exactly the same pairs."""
     from ray.data.aggregate import Count
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    # signatures are consumed twice (banding + candidate fetch):
-    # materialize once into the (distributed, spillable) object store
-    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 4)).materialize()
-
-    n_hashes = 128
     r = n_hashes // bands
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -295,7 +282,7 @@ def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
             }
         )
 
-    cand = (
+    return (
         sigs.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
         .map_groups(_pairs_from_group, batch_format="pyarrow", fn_kwargs={"max_block": max_block})
@@ -303,6 +290,26 @@ def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
         .aggregate(Count(alias_name="n_bands"))
         .materialize()  # candidate pairs are few by construction
     )
+
+
+def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
+                      verify: bool = False, shingle: int = 3, max_block: int = 200):
+    """→ (doc_a, doc_b, est_jaccard[, jaccard]) from banded LSH candidates,
+    scored by signature agreement (est_jaccard = matching minhashes /
+    n_hashes).  The agreement check is distributed: candidate pairs stay
+    a Dataset, the O(candidates) signatures they touch are fetched via a
+    broadcast id filter, and scoring runs vectorized in ``map_batches``.
+    ``verify=True`` additionally recomputes the EXACT shingle Jaccard
+    for surviving pairs (reading only those docs via predicate pushdown
+    — candidates are few by construction)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # signatures are consumed twice (banding + candidate fetch):
+    # materialize once into the (distributed, spillable) object store
+    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 4)).materialize()
+    cand = _lsh_candidates(sigs, bands, max_block)
 
     out_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard", pa.float64())]
@@ -372,54 +379,24 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = 0.8, shingle: int = 3
     is the FILTER.  Output is therefore oracle-checkable against the
     all-pairs Jaccard SQL: at 128 hashes / 32 bands a J≥0.8 pair escapes
     every band with probability (1−0.8⁴)³² ≈ 5·10⁻⁸, so candidate recall
-    is complete in practice while the cluster only ever verifies the
-    LSH-proposed pairs instead of all n².
+    is complete in practice (provided ``max_block`` exceeds the largest
+    duplicate cluster's band bucket) while the cluster only ever
+    verifies the LSH-proposed pairs instead of all n².
 
     Gram sets for the verify step are computed only for candidate docs
     (predicate-pushdown read) and broadcast as hashed-shingle arrays;
     the pair verify runs vectorized per batch over the candidate
-    Dataset."""
+    Dataset.  ``max_block`` caps band-bucket size — for exact oracle
+    parity pass an effectively-unbounded value (a dropped hot bucket
+    drops its pairs)."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sigs = ds.map_batches(MinHashStage, batch_format="pyarrow",
                           fn_constructor_kwargs={"shingle": shingle},
                           concurrency=(1, 4)).materialize()
-
-    n_hashes = 128
-    r = n_hashes // bands
-
-    def band_rows(t: pa.Table) -> pa.Table:
-        doc = t["doc_id"].to_numpy()
-        sig = np.stack([np.asarray(s) for s in t["signature"].to_pylist()]).astype(np.uint64)
-        rows_doc, rows_band, rows_hash = [], [], []
-        for bidx in range(bands):
-            seg = sig[:, bidx * r : (bidx + 1) * r]
-            with np.errstate(over="ignore"):
-                bh = seg[:, 0].copy()
-                for j in range(1, r):
-                    bh = splitmix64(bh ^ seg[:, j])
-            rows_doc.append(doc)
-            rows_band.append(np.full(len(doc), bidx, dtype=np.int32))
-            rows_hash.append(bh.astype(np.int64))
-        return pa.table(
-            {
-                "band": pa.array(np.concatenate(rows_band), pa.int32()),
-                "band_hash": pa.array(np.concatenate(rows_hash), pa.int64()),
-                "doc_id": pa.array(np.concatenate(rows_doc), pa.int64()),
-            }
-        )
-
-    cand = (
-        sigs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(_pairs_from_group, batch_format="pyarrow", fn_kwargs={"max_block": max_block})
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .materialize()  # candidate pairs are few by construction
-    )
+    cand = _lsh_candidates(sigs, bands, max_block)
 
     out_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]

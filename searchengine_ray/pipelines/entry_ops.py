@@ -48,7 +48,9 @@ def q_dedup_exact(sf_dir: str):
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
-    return dedup.ngram_jaccard_pairs(sf_dir, threshold=0.8)
+    # uncapped: the driver gate is exact vs the all-pairs SQL oracle (the
+    # capped default is the production/scale setting, not the parity one)
+    return dedup.ngram_jaccard_pairs(sf_dir, threshold=0.8, max_block=10**9)
 
 
 def q_minhash_lsh_pairs(sf_dir: str):
@@ -56,7 +58,8 @@ def q_minhash_lsh_pairs(sf_dir: str):
 
 
 def q_minhash_verified_pairs(sf_dir: str):
-    return dedup.minhash_verified_pairs(sf_dir, threshold=0.8)
+    # effectively-uncapped blocks for the same oracle-parity reason
+    return dedup.minhash_verified_pairs(sf_dir, threshold=0.8, max_block=10**6)
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -75,8 +78,12 @@ def q_ann_ivf_partitioned(sf_dir: str):
     """Probe-pruned search over the persisted cluster-partitioned index."""
     import os
 
+    # cache key includes the source file's size+mtime so a regenerated
+    # corpus at the same path can never serve stale clusters
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
     tag = os.path.normpath(sf_dir).replace("/", "_").strip("_")
-    ivf_dir = f"/tmp/searchengine_ray_ivf_{tag}"
+    ivf_dir = f"/tmp/searchengine_ray_ivf_{tag}_{st.st_size}_{int(st.st_mtime)}"
     if not os.path.exists(os.path.join(ivf_dir, "centroids.json")):
         ann.ivf_build(sf_dir, ivf_dir)
     qids, qmat = ann.load_queries(sf_dir, 5)

@@ -57,8 +57,9 @@ class SearchWorker:
     def search(self, query: str, k=None, method: str = "exact",
                role=None) -> pa.Table:
         if len(self._readers) > 1:
-            # multi-segment engine: exact scoring only, no role filter yet
-            return self.engine.search(query, k=k)
+            # multi-segment engine: role filter fully supported; scoring
+            # is always exact (wand degrades to exact, never to wrong)
+            return self.engine.search(query, k=k, role=role)
         return self.engine.search(query, k=k, method=method, role=role)
 
     def cache_stats(self) -> dict:

@@ -298,22 +298,6 @@ def markers_to_cogroup(res: pa.Table) -> pa.Table:
     )
 
 
-def runs_to_cogroup(runs: pa.Table) -> pa.Table:
-    """Run rows (payload) → co-group rows with null term/dropped."""
-    n = runs.num_rows
-    return pa.table(
-        {
-            "fold_key": runs["fold_key"],
-            "range": runs["range"],
-            "surface": runs["surface"],
-            "term": pa.nulls(n, pa.string()),
-            "dropped": pa.nulls(n, pa.bool_()),
-            "run": runs["run"],
-        },
-        schema=COGROUP_SCHEMA,
-    )
-
-
 class MergeFoldRangeGroup:
     """Final merge for one (fold_key, doc-range) co-group: apply the
     group's resolution marker rows (surface → term map + entity drops),

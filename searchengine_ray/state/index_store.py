@@ -79,7 +79,10 @@ class IndexReader:
         self._dm_rg_cache: OrderedDict = OrderedDict()
         self.dm_rg_cache_max = 256
         # full-term concatenation LRU: re-joining a hot term's ~100 cached
-        # chunks cost more than scoring; shares the postings budget
+        # chunks cost more than scoring.  Its budget is a SEPARATE
+        # cache_max_postings (concatenated copies of chunk data), so a
+        # reader's worst-case decoded-postings residency is
+        # 2 × cache_max_postings — size cache_max_postings accordingly.
         self._full_cache: OrderedDict = OrderedDict()
         self._full_postings = 0
         self._cache_postings = 0
@@ -217,38 +220,50 @@ class IndexReader:
             self._term_cis[t2].discard(c2)
 
     def preload(self, terms=None) -> int:
-        """Bulk-warm the postings caches with ONE dataset scan instead of
-        a per-term scan per cold query — the serving-actor warmup path.
-        ``terms=None`` loads the whole dictionary (bounded by the cache
-        budget; highest-df terms are loaded last so they survive the
-        LRU).  Returns the number of chunks decoded."""
-        want = list(self._dict) if terms is None else [t for t in terms if t in self._dict]
-        want = [t for t in want if t not in self._meta_cache]
+        """Bulk-warm the postings caches with ONE streaming dataset scan
+        instead of a per-term scan per cold query — the serving-actor
+        warmup path.  ``terms=None`` loads the whole dictionary.  The
+        scan is consumed batch-by-batch so peak transient memory is one
+        record batch, never the whole postings table; retained memory is
+        bounded by the LRU budget as usual.  Returns chunks decoded."""
+        if terms is None:
+            want = {t for t in self._dict if t not in self._meta_cache}
+        else:
+            want = {t for t in terms if t in self._dict and t not in self._meta_cache}
         if not want:
             return 0
-        want.sort(key=lambda t: self._dict[t][0])  # ascending df
-        flt = pads.field("term").isin(want)
-        tbl = self._postings_ds.to_table(
-            columns=["term", "chunk_idx", "doc_min", "doc_max", "max_ntf", "run"],
-            filter=flt,
-        )
+        # one pass PER SHARD: a term's chunks all live in its crc32 shard,
+        # so per-shard processing is complete for every term it covers and
+        # peak transient memory is one shard's table, not the whole index
+        by_shard: dict[int, list[str]] = {}
+        for t in want:
+            by_shard.setdefault(self._dict[t][2], []).append(t)
         n = 0
-        terms_col = tbl["term"].to_pylist()
-        order = sorted(range(len(terms_col)), key=lambda i: self._dict[terms_col[i]][0])
-        by_term: dict[str, list[int]] = {}
-        for i in order:
-            by_term.setdefault(terms_col[i], []).append(i)
-        for t, rows in by_term.items():
-            sub = tbl.take(pa.array(rows, pa.int64()))
-            self._put_meta(t, sub)
-            decoded = {
-                int(ci): decode_postings(run)
-                for ci, run in zip(sub["chunk_idx"].to_pylist(), sub["run"].to_pylist())
-            }
-            n += len(decoded)
-            with self._cache_lock:
-                for ci, p in decoded.items():
-                    self._cache_put(t, ci, p)
+        for shard, shard_terms in sorted(by_shard.items()):
+            flt = pads.field("shard") == shard
+            if terms is not None:
+                flt = flt & pads.field("term").isin(sorted(shard_terms))
+            tbl = self._postings_ds.to_table(
+                columns=["term", "chunk_idx", "doc_min", "doc_max", "max_ntf", "run"],
+                filter=flt,
+            )
+            terms_col = tbl["term"].to_pylist()
+            by_term: dict[str, list[int]] = {}
+            for i, t in enumerate(terms_col):
+                if t in want:
+                    by_term.setdefault(t, []).append(i)
+            for t, rows in by_term.items():
+                sub = tbl.take(pa.array(rows, pa.int64()))
+                self._put_meta(t, sub)
+                decoded = {
+                    int(ci): decode_postings(run)
+                    for ci, run in zip(sub["chunk_idx"].to_pylist(), sub["run"].to_pylist())
+                }
+                n += len(decoded)
+                with self._cache_lock:
+                    for ci, p in decoded.items():
+                        self._cache_put(t, ci, p)
+            del tbl
         self.stats["chunks_decoded"] += n
         return n
 
