@@ -92,6 +92,10 @@ def test_serving_pool_over_segments(corpora):
             assert svc.search(q, k=7).to_pandas().equals(
                 direct.search(q, k=7).to_pandas()
             )
+        # regression: the role filter must survive the segmented branch
+        got = svc.search(QUERIES[0], k=7, role="user").to_pandas()
+        assert got.equals(direct.search(QUERIES[0], k=7, role="user").to_pandas())
+        assert not got.equals(direct.search(QUERIES[0], k=7).to_pandas())
     finally:
         svc.shutdown()
 
