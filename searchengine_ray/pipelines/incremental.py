@@ -57,13 +57,27 @@ def segment_dirs(index_dir: str) -> list[str]:
     return out
 
 
-def append_index(source: str, index_dir: str, profile: str = "simple",
+def _base_profile(index_dir: str) -> str:
+    with open(os.path.join(index_dir, "index_meta.json")) as f:
+        return json.load(f)["profile"]
+
+
+def append_index(source: str, index_dir: str, profile: str | None = None,
                  **build_kwargs) -> str:
     """Append new input files as a delta segment.
 
     Builds a self-contained index over ``source`` (the NEW files only)
     under ``index_dir/segments/seg-NNN`` — reusing the whole resumable
-    build pipeline — and registers it.  Returns the segment path."""
+    build pipeline — and registers it.  Returns the segment path.
+    ``profile`` defaults to the BASE index's stamped profile; passing a
+    different one is rejected (mixed-analyzer segments score garbage)."""
+    base_prof = _base_profile(index_dir)
+    if profile is None:
+        profile = base_prof
+    elif profile != base_prof:
+        raise ValueError(
+            f"segment profile {profile!r} != base index profile {base_prof!r}"
+        )
     sf = _segments_file(index_dir)
     reg = {"segments": [], "sources": {}}
     if os.path.exists(sf):
@@ -131,22 +145,46 @@ def _index_sources(index_dir: str) -> list[str]:
                     f"segment {name} has no recorded source; cannot compact"
                 )
             base.append(src)
-    return base
+    # dedupe (a segment staged from a base dir would double-ingest) while
+    # keeping order.  Caveat: base sources are DIRECTORIES from lineage —
+    # files added to them after the base build get picked up by a
+    # compaction even though pre-compaction search never served them.
+    seen: set[str] = set()
+    out = []
+    for s in base:
+        a = os.path.abspath(s)
+        if a not in seen:
+            seen.add(a)
+            out.append(a)
+    return out
 
 
-def maybe_compact(index_dir: str, max_segments: int = 4, profile: str = "simple",
-                  **build_kwargs) -> bool:
+def maybe_compact(index_dir: str, max_segments: int = 4,
+                  profile: str | None = None, **build_kwargs) -> bool:
     """Compaction policy: when the delta-segment count exceeds
-    ``max_segments``, rebuild base+segments into one index and swap it in
-    atomically (build → rename; the old index stays intact until the new
-    one is complete).  Returns True when a compaction ran."""
+    ``max_segments``, rebuild base+segments into one index and swap it
+    in via two renames.  The old index stays intact until the rebuild is
+    complete; if a NEW segment was appended while the rebuild ran, the
+    swap is ABORTED (returns False, rebuild discarded) rather than
+    deleting the fresh segment — rerun once appends quiesce.  The
+    two-rename swap is not a single atomic operation: a crash between
+    them leaves the old index at ``index_dir + ".old"`` for manual
+    restore.  Returns True when a compaction ran."""
     import shutil
 
+    if profile is None:
+        profile = _base_profile(index_dir)
     if len(segment_dirs(index_dir)) - 1 <= max_segments:
         return False
+    before = segment_dirs(index_dir)
     sources = _index_sources(index_dir)
     new_dir = index_dir + ".compacting"
     compact_index(sources, new_dir, profile=profile, **build_kwargs)
+    if segment_dirs(index_dir) != before:
+        # concurrent append during the rebuild: its docs are not in the
+        # compacted output — discard the rebuild, never the segment
+        shutil.rmtree(new_dir, ignore_errors=True)
+        return False
     old_dir = index_dir + ".old"
     shutil.rmtree(old_dir, ignore_errors=True)
     os.replace(index_dir, old_dir)
@@ -161,6 +199,12 @@ class MultiIndexEngine:
 
     def __init__(self, index_dir: str, profile=None):
         self.engines = [QueryEngine(d, profile=profile) for d in segment_dirs(index_dir)]
+        profiles = {e.reader.meta["profile"] for e in self.engines}
+        if len(profiles) > 1:
+            raise ValueError(
+                f"segments built with different profiles {sorted(profiles)}; "
+                "their vocabularies are incompatible — recompact"
+            )
         # ---- global stats ------------------------------------------------
         n_docs = sum(e.reader.meta["n_docs"] for e in self.engines)
         total_len = sum(e.reader.meta["total_len"] for e in self.engines)
@@ -180,28 +224,10 @@ class MultiIndexEngine:
     def _resolve(self, query: str) -> dict[str, float]:
         """Case resolution against the UNION vocabulary (what a merged
         dictionary would contain), so segment-local gaps cannot drop a
-        query term the full rebuild would keep."""
-        e0 = self.engines[0]
-        if e0._ref_tok is not None:
-            counts, _ = e0._ref_tok.parse_sentence(query)
-            raw = {t: float(c) for t, c in counts.items()}
-        else:
-            from ..functions.tokenize import simple_tokenize_flat
-
-            _, flat = simple_tokenize_flat(pa.array([query], type=pa.string()))
-            raw = {}
-            for t in flat.to_pylist():
-                raw[t] = raw.get(t, 0.0) + 1.0
-        resolved: dict[str, float] = {}
-        for term, w in raw.items():
-            if term.lower() in self.df:
-                term = term.lower()
-            elif term.upper() in self.df:
-                term = term.upper()
-            else:
-                continue
-            resolved[term] = resolved.get(term, 0.0) + w
-        return resolved
+        query term the full rebuild would keep.  Delegates to
+        ``parse_query`` with the union-membership predicate — one
+        tokenize/resolve implementation for both paths."""
+        return self.engines[0].parse_query(query, has_term=self.df.__contains__)
 
     def search(self, query: str, k: int | None = None, role: str | None = None,
                role_boost: dict[str, float] | None = None,

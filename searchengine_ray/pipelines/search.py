@@ -55,10 +55,16 @@ class QueryEngine:
         self.term_static_max_entries = 20_000_000
 
     # ------------------------------------------------------------------
-    def parse_query(self, query: str, expander=None) -> dict[str, float]:
+    def parse_query(self, query: str, expander=None, has_term=None) -> dict[str, float]:
         """Tokenize, optionally expand (Q14-Q17 plugin hook, applied before
         case resolution as the reference's searcher variants do), then
-        case-resolve against the dictionary → {term: q_weight}."""
+        case-resolve against the dictionary → {term: q_weight}.
+
+        ``has_term`` overrides the membership predicate — the
+        multi-segment engine passes its UNION-vocabulary test so this
+        single implementation serves both paths."""
+        if has_term is None:
+            has_term = self.reader.has_term
         if self._ref_tok is not None:
             counts, _ = self._ref_tok.parse_sentence(query)
             raw = {t: float(c) for t, c in counts.items()}
@@ -73,9 +79,9 @@ class QueryEngine:
             raw = expander(raw, self)
         resolved: dict[str, float] = {}
         for term, w in raw.items():
-            if self.reader.has_term(term.lower()):
+            if has_term(term.lower()):
                 term = term.lower()
-            elif self.reader.has_term(term.upper()):
+            elif has_term(term.upper()):
                 term = term.upper()
             else:
                 continue
@@ -111,10 +117,15 @@ class QueryEngine:
         if not q:
             return _empty_result()
         # wand requires k (θ needs a target), no post-hoc candidate drop
-        # (role/boost/conjunction), and a profile without the cosine term
-        # (its Σw² factor is not covered by the per-term upper bounds)
+        # (role/boost/conjunction/anomaly-cut — they change the population
+        # the cut/k applies to), non-negative query weights (the upper
+        # bounds assume contributions can only add), and a profile
+        # without the cosine term (its Σw² factor is not covered by the
+        # per-term upper bounds)
         if (method == "wand" and k is not None and role is None
                 and role_boost is None and match_mode == "any"
+                and anomaly_cut_std is None
+                and all(w >= 0 for w in q.values())
                 and not self.profile.w_cosine):
             ids, scores = self._score_wand(q, k)
         else:
@@ -463,11 +474,11 @@ class ConversationSearch:
         cs = c[order]
         grp_starts = np.flatnonzero(np.concatenate([[True], cs[1:] != cs[:-1]]))
         uniq_codes = cs[grp_starts]
-        seg = np.repeat(np.arange(len(uniq_codes)), np.diff(np.append(grp_starts, len(cs))))
         r_sorted = rounded[order]
         s_sorted = scores[order]
-        best_r = np.full(len(uniq_codes), -np.inf)
-        np.maximum.at(best_r, seg, r_sorted)
+        # segments are contiguous after the sort: reduceat, not a slow
+        # unbuffered maximum.at scatter
+        best_r = np.maximum.reduceat(r_sorted, grp_starts)
         counts = np.diff(np.append(grp_starts, len(cs)))
 
         # the representative turn: among a conv's turns with rounded ==

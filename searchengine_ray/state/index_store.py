@@ -37,6 +37,16 @@ from ..functions.hashing import term_shard
 DOCMAP_ROW_GROUP = 4096
 
 
+def _range_sorted(files) -> list[str]:
+    """docmap files in NUMERIC range order — lexicographic sort misorders
+    rNNNN names once ranges exceed the zero-padding width (r10000 would
+    sort before r9999), silently misaligning dense-rank columns."""
+    return sorted(
+        (f for f in files if f.startswith("r") and f.endswith(".parquet")),
+        key=lambda f: int(f[1:-8]),
+    )
+
+
 class IndexReader:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
@@ -367,7 +377,7 @@ class IndexReader:
         if getattr(self, "_conv_codes", None) is None:
             dm_dir = os.path.join(self.index_dir, "docmap")
             if os.path.isdir(dm_dir):
-                files = sorted(os.listdir(dm_dir))
+                files = _range_sorted(os.listdir(dm_dir))
                 parts = [
                     pq.read_table(os.path.join(dm_dir, f), columns=["conv_id", "turn_idx"])
                     for f in files
@@ -398,9 +408,7 @@ class IndexReader:
         if info is None or not self.meta.get("dense_ids"):
             return self.docmap()["role"][np.asarray(positions, np.int64)]
         if self._role_col is None:
-            files = sorted(
-                os.listdir(os.path.join(self.index_dir, "docmap"))
-            )
+            files = _range_sorted(os.listdir(os.path.join(self.index_dir, "docmap")))
             parts = [
                 pq.read_table(
                     os.path.join(self.index_dir, "docmap", f), columns=["role"]
