@@ -55,12 +55,14 @@ class SearchWorker:
                 r.preload()
 
     def search(self, query: str, k=None, method: str = "exact",
-               role=None) -> pa.Table:
+               role=None, role_boost=None, match_mode: str = "any") -> pa.Table:
         if len(self._readers) > 1:
-            # multi-segment engine: role filter fully supported; scoring
-            # is always exact (wand degrades to exact, never to wrong)
-            return self.engine.search(query, k=k, role=role)
-        return self.engine.search(query, k=k, method=method, role=role)
+            # multi-segment engine: all modes supported; scoring is
+            # always exact (wand degrades to exact, never to wrong)
+            return self.engine.search(query, k=k, role=role,
+                                      role_boost=role_boost, match_mode=match_mode)
+        return self.engine.search(query, k=k, method=method, role=role,
+                                  role_boost=role_boost, match_mode=match_mode)
 
     def cache_stats(self) -> dict:
         out = {"chunks_cached": 0, "cached_postings": 0}
@@ -103,9 +105,10 @@ class SearchService:
 
     # -- API -------------------------------------------------------------
     def search(self, query: str, k=None, method: str = "exact",
-               role=None) -> pa.Table:
+               role=None, role_boost=None, match_mode: str = "any") -> pa.Table:
         ref = self.workers[self._pick(query)].search.remote(
-            query, k=k, method=method, role=role
+            query, k=k, method=method, role=role,
+            role_boost=role_boost, match_mode=match_mode,
         )
         return ray.get(ref)
 
