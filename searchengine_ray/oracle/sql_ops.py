@@ -110,6 +110,25 @@ def ops_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": ngram_jaccard,
         "minhash_verified_pairs": ngram_jaccard,
+        # ---- training-mix operators ------------------------------------
+        # deterministic affine-hash sampling: exact integer twin of
+        # pipelines/sampling.py (SAMPLE_A = 2654435761, M = 2^32)
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE (doc_id::HUGEINT * 2654435761) % 4294967296 <
+                  (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+                               WHEN 'src2' THEN 1.0 ELSE 0.1 END * 4294967296)::HUGEINT
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id, len({_WORDS})::BIGINT AS n_tokens
+                FROM documents)
+            SELECT doc_id, n_tokens,
+                   (COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // 512)::BIGINT AS bin
+            FROM t
+        """,
         # ---- composed curation pipeline --------------------------------
         "curation": f"""
             WITH f AS (

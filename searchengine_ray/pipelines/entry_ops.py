@@ -94,6 +94,20 @@ def q_embedding_dup_pairs(sf_dir: str):
     return ann.embedding_dup_pairs(sf_dir, max_id=300, threshold=0.35)
 
 
+def q_stratified_sample(sf_dir: str):
+    from . import sampling
+
+    return sampling.stratified_sample(
+        sf_dir, {"src0": 0.5, "src1": 0.25, "src2": 1.0}, default=0.1
+    )
+
+
+def q_pack_sequences(sf_dir: str):
+    from . import sampling
+
+    return sampling.pack_sequences(sf_dir, budget=512)
+
+
 def q_curation(sf_dir: str):
     from . import curation
 
@@ -143,6 +157,8 @@ OPS_QUERIES = {
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "curation": q_curation,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,

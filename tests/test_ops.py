@@ -214,6 +214,33 @@ def test_ivf_partitioned_index(tmp_path):
     assert got.equals(want)
 
 
+def test_stratified_sample_deterministic(planted_dir):
+    from searchengine_ray.pipelines import sampling
+
+    a = sampling.stratified_sample(planted_dir, {"s0": 1.0, "s1": 0.5}).to_pandas()
+    b = sampling.stratified_sample(planted_dir, {"s0": 1.0, "s1": 0.5}).to_pandas()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True)
+    )
+    # frac 1.0 keeps every s0 doc; default 0.0 drops s2 entirely
+    assert (a[a.source == "s0"].doc_id.nunique()) == 14  # ids 0,3,..39 % 3 == 0
+    assert "s2" not in set(a.source)
+    sub = sampling.stratified_sample(planted_dir, {"s1": 0.25}).to_pandas()
+    assert set(sub.doc_id) <= set(a[a.source == "s1"].doc_id) | set()
+
+
+def test_pack_sequences_budget(planted_dir):
+    from searchengine_ray.pipelines import sampling
+
+    out = sampling.pack_sequences(planted_dir, budget=100).to_pandas().sort_values("doc_id")
+    # exclusive prefix sums: recompute serially
+    excl = out.n_tokens.cumsum() - out.n_tokens
+    assert (out.bin.values == (excl // 100).values).all()
+    # bins are non-decreasing in doc order and start at 0
+    assert out.bin.iloc[0] == 0
+    assert (np.diff(out.bin.values) >= 0).all()
+
+
 def test_multimodal_resize_and_frames(planted_dir):
     from searchengine_ray.stages.multimodal import resized_meta, sample_frames
 
