@@ -110,6 +110,25 @@ def ops_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": ngram_jaccard,
         "minhash_verified_pairs": ngram_jaccard,
+        # train/eval contamination: docs sharing any word-8-gram with the
+        # eval set (doc_id < 10); n_hits = distinct shared grams
+        "decontaminate": f"""
+            WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            idx AS (
+                SELECT doc_id, w, unnest(range(1, greatest(len(w) - 7, 0) + 1)) AS i
+                FROM words),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                       || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+                       || ' ' || w[i+7] AS gram
+                FROM idx),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
+            SELECT g.doc_id, count(*)::BIGINT AS n_hits
+            FROM g JOIN ev ON ev.gram = g.gram
+            WHERE g.doc_id >= 10
+            GROUP BY 1
+        """,
         # ---- training-mix operators ------------------------------------
         # deterministic affine-hash sampling: exact integer twin of
         # pipelines/sampling.py (SAMPLE_A = 2654435761, M = 2^32)

@@ -50,6 +50,65 @@ def _keep_first(group: pa.Table) -> pa.Table:
     return group.slice(i, 1)
 
 
+def decontaminate(sf_dir: str, eval_max_id: int = 10, n: int = 8):
+    """Train/eval contamination check: flag every training doc sharing at
+    least one word-``n``-gram with the eval set (docs with
+    doc_id < ``eval_max_id`` stand in for a benchmark).
+
+    Scale shape: the eval side is SMALL by construction — its hashed
+    n-gram set is broadcast once via ``ray.put`` and each batch does a
+    vectorized membership test; the training corpus streams, nothing
+    shuffles.  → (doc_id, n_hits) for contaminated docs only."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import hash_str_u64
+
+    def grams_of(text: str) -> list[str]:
+        words = [w for w in _simple(text)]
+        return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+    def _simple(text: str):
+        import re
+
+        return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+
+    ev = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    keep = np.flatnonzero(ev["doc_id"].to_numpy() < eval_max_id)
+    ev = ev.take(pa.array(keep, pa.int64()))
+    eval_grams: set[str] = set()
+    for t in ev["text"].to_pylist():
+        eval_grams.update(grams_of(t))
+    eval_hashes = np.unique(hash_str_u64(sorted(eval_grams))) if eval_grams else np.empty(0, np.uint64)
+    ref = ray.put(eval_hashes)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        out_doc, out_hits = [], []
+        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if did < eval_max_id:
+                continue  # the eval set itself is not "contaminated"
+            g = grams_of(text)
+            if not g:
+                continue
+            h = np.unique(hash_str_u64(g))
+            pos = np.searchsorted(bench, h).clip(0, max(len(bench) - 1, 0))
+            hits = int((bench[pos] == h).sum()) if len(bench) else 0
+            if hits:
+                out_doc.append(did)
+                out_hits.append(hits)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "n_hits": pa.array(out_hits, pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 def curate(sf_dir: str, langs=("en",), min_quality: float = 0.55):
     """→ Dataset (doc_id, pred_lang, n_tokens, quality) of the curated
     corpus: deduplicated (exact, keep-first), language-filtered, above

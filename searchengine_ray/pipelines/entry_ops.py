@@ -114,6 +114,12 @@ def q_curation(sf_dir: str):
     return curation.curate(sf_dir, langs=("en",), min_quality=0.55)
 
 
+def q_decontaminate(sf_dir: str):
+    from . import curation
+
+    return curation.decontaminate(sf_dir, eval_max_id=10, n=8)
+
+
 def q_multimodal_meta(sf_dir: str):
     return multimodal_meta(sf_dir)
 
@@ -157,6 +163,7 @@ OPS_QUERIES = {
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "curation": q_curation,
+    "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "multimodal_meta": q_multimodal_meta,

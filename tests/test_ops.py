@@ -214,6 +214,23 @@ def test_ivf_partitioned_index(tmp_path):
     assert got.equals(want)
 
 
+def test_decontaminate_finds_planted_dup(planted_dir):
+    """The exact-dup pair (1, 2): doc 2 shares every 8-gram with eval doc
+    1 (eval set = doc_id < 2), so it must be flagged; near-dup doc 4
+    shares most of doc 3's grams only if 3 is in the eval set."""
+    from searchengine_ray.pipelines import curation
+
+    out = curation.decontaminate(planted_dir, eval_max_id=2, n=8).to_pandas()
+    assert 2 in set(out.doc_id)
+    hit = out[out.doc_id == 2]
+    assert int(hit.n_hits.iloc[0]) == 30 - 8 + 1  # all 23 grams of a 30-word doc
+    # only doc 2 duplicates an eval doc; everything else is clean
+    assert set(out.doc_id) == {2}
+    # with the dups swallowed INTO the eval set, nothing remains flagged
+    out5 = curation.decontaminate(planted_dir, eval_max_id=5, n=8).to_pandas()
+    assert len(out5) == 0
+
+
 def test_stratified_sample_deterministic(planted_dir):
     from searchengine_ray.pipelines import sampling
 
