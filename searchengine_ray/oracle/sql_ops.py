@@ -135,8 +135,9 @@ def ops_sql() -> dict[str, str]:
         "stratified_sample": """
             SELECT doc_id, source FROM documents
             WHERE (doc_id::HUGEINT * 2654435761) % 4294967296 <
-                  (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
-                               WHEN 'src2' THEN 1.0 ELSE 0.1 END * 4294967296)::HUGEINT
+                  floor(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+                                    WHEN 'src2' THEN 1.0 ELSE 0.1 END
+                        * 4294967296)::HUGEINT
         """,
         "pack_sequences": f"""
             WITH t AS (

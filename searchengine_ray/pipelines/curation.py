@@ -55,46 +55,39 @@ def decontaminate(sf_dir: str, eval_max_id: int = 10, n: int = 8):
     least one word-``n``-gram with the eval set (docs with
     doc_id < ``eval_max_id`` stand in for a benchmark).
 
-    Scale shape: the eval side is SMALL by construction — its hashed
-    n-gram set is broadcast once via ``ray.put`` and each batch does a
-    vectorized membership test; the training corpus streams, nothing
+    Scale shape: the eval side is SMALL by construction — it is read
+    with a pushed-down doc_id predicate (only eval row groups leave
+    storage) and its exact gram-string set is broadcast once via
+    ``ray.put``; each batch does set-membership tests (exact strings,
+    not hashes — the driver gate is value-exact and a hash collision
+    would inflate n_hits) while the training corpus streams.  Nothing
     shuffles.  → (doc_id, n_hits) for contaminated docs only."""
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
     import ray
     import ray.data as rd
 
-    from ..functions.hashing import hash_str_u64
+    from .dedup import _simple_words
 
     def grams_of(text: str) -> list[str]:
-        words = [w for w in _simple(text)]
+        words = _simple_words(text)
         return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
 
-    def _simple(text: str):
-        import re
-
-        return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
-
-    ev = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    keep = np.flatnonzero(ev["doc_id"].to_numpy() < eval_max_id)
-    ev = ev.take(pa.array(keep, pa.int64()))
+    ev = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < eval_max_id,
+    )
     eval_grams: set[str] = set()
     for t in ev["text"].to_pylist():
         eval_grams.update(grams_of(t))
-    eval_hashes = np.unique(hash_str_u64(sorted(eval_grams))) if eval_grams else np.empty(0, np.uint64)
-    ref = ray.put(eval_hashes)
+    ref = ray.put(eval_grams)
 
     def flag(batch: pa.Table) -> pa.Table:
-        bench = ray.get(ref)
+        bench: set[str] = ray.get(ref)
         out_doc, out_hits = [], []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             if did < eval_max_id:
                 continue  # the eval set itself is not "contaminated"
-            g = grams_of(text)
-            if not g:
-                continue
-            h = np.unique(hash_str_u64(g))
-            pos = np.searchsorted(bench, h).clip(0, max(len(bench) - 1, 0))
-            hits = int((bench[pos] == h).sum()) if len(bench) else 0
+            hits = len({g for g in grams_of(text) if g in bench})
             if hits:
                 out_doc.append(did)
                 out_hits.append(hits)

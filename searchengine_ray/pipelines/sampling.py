@@ -20,8 +20,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .analysis import quality_batch
-
 # affine-hash sampling constants (public, arbitrary odd multiplier; the
 # modulus is a power of two so the SQL twin is exact integer math)
 SAMPLE_A = 2654435761  # Knuth multiplicative constant
@@ -54,47 +52,71 @@ def stratified_sample(sf_dir: str, fracs: dict[str, float], default: float = 0.0
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
-def pack_sequences(sf_dir: str, budget: int = 512) -> pa.Table:
-    """→ (doc_id, n_tokens, bin) — greedy concatenation order packing:
-    docs in doc_id order fill context windows of ``budget`` tokens; a
-    doc's bin = floor(exclusive-prefix-sum / budget).
+def _count_tokens_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens) only — the token-count half of quality scoring
+    without paying for the stopword/punct/quality work."""
+    from .analysis import _split_tokens
 
-    Two-phase distributed scan: phase 1 computes per-block token sums
-    (tiny), phase 2 broadcasts the exclusive block offsets and assigns
-    bins block-locally."""
+    texts = (
+        batch["text"].combine_chunks()
+        if isinstance(batch["text"], pa.ChunkedArray)
+        else batch["text"]
+    )
+    parent, _ = _split_tokens(texts)
+    n_tokens = np.zeros(batch.num_rows, dtype=np.int64)
+    np.add.at(n_tokens, parent, 1)
+    return pa.table(
+        {"doc_id": batch["doc_id"], "n_tokens": pa.array(n_tokens, pa.int64())}
+    )
+
+
+def pack_sequences(sf_dir: str, budget: int = 512):
+    """→ Dataset (doc_id, n_tokens, bin) — greedy concatenation-order
+    packing: docs in doc_id order fill context windows of ``budget``
+    tokens; a doc's bin = floor(exclusive-prefix-sum / budget).
+
+    Two-phase distributed scan, with blocks staying in the object store
+    throughout: phase 1 fetches only one (count, sum) pair per block;
+    phase 2 ships each block its exclusive offset and assigns bins in a
+    remote task.  The driver holds a block-count-sized offsets array —
+    never the table."""
     import ray
     import ray.data as rd
 
-    # token counts per doc, sorted blocks by doc_id (sort keeps blocks
-    # range-partitioned: block i holds smaller ids than block i+1)
+    # token counts per doc, sorted blocks by doc_id (the sort keeps
+    # blocks range-partitioned: block i holds smaller ids than block i+1)
     counts = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(
-            lambda t: quality_batch(t).select(["doc_id", "n_tokens"]),
-            batch_format="pyarrow",
-        )
+        .map_batches(_count_tokens_batch, batch_format="pyarrow")
         .sort("doc_id")
     )
-    blocks = [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
-    if not blocks:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "n_tokens": pa.array([], pa.int64()),
-                         "bin": pa.array([], pa.int64())})
-    # phase 1: per-block sums (block-count-sized driver work)
-    sums = np.array([int(np.sum(b["n_tokens"].to_numpy())) for b in blocks])
-    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
-    # phase 2: block-local bin assignment with the broadcast offset
-    parts = []
-    for b, off in zip(blocks, offsets):
-        n = b["n_tokens"].to_numpy()
-        excl = off + np.cumsum(n) - n
-        parts.append(
-            pa.table(
-                {
-                    "doc_id": b["doc_id"],
-                    "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
-                    "bin": pa.array((excl // budget).astype(np.int64), pa.int64()),
-                }
-            )
+    refs = counts.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "bin": pa.array([], pa.int64())})
         )
-    return pa.concat_tables(parts)
+
+    @ray.remote
+    def block_sum(tbl: pa.Table) -> int:
+        return int(np.sum(tbl["n_tokens"].to_numpy()))
+
+    @ray.remote
+    def assign_bins(tbl: pa.Table, offset: int) -> pa.Table:
+        n = tbl["n_tokens"].to_numpy()
+        excl = offset + np.cumsum(n) - n
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
+                "bin": pa.array((excl // budget).astype(np.int64), pa.int64()),
+            }
+        )
+
+    # phase 1: per-block sums only (ints) leave the object store
+    sums = np.array(ray.get([block_sum.remote(r) for r in refs]), dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]) if len(sums) else sums
+    # phase 2: block-local assignment, results stay distributed
+    out_refs = [assign_bins.remote(r, int(off)) for r, off in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)

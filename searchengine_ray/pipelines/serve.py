@@ -112,11 +112,16 @@ class SearchService:
         )
         return ray.get(ref)
 
-    def search_many(self, queries, k=None, method: str = "exact") -> list[pa.Table]:
+    def search_many(self, queries, k=None, method: str = "exact",
+                    role=None, role_boost=None,
+                    match_mode: str = "any") -> list[pa.Table]:
         """Submit every query at once (pipelined across the pool), gather
-        in submission order."""
+        in submission order.  Same modes as ``search``."""
         refs = [
-            self.workers[self._pick(q)].search.remote(q, k=k, method=method)
+            self.workers[self._pick(q)].search.remote(
+                q, k=k, method=method, role=role,
+                role_boost=role_boost, match_mode=match_mode,
+            )
             for q in queries
         ]
         return ray.get(refs)

@@ -35,6 +35,14 @@ def test_service_matches_direct_engine(tmp_path):
         # served queries and populated actor-side caches
         stats = svc.cache_stats()
         assert sum(s["chunks_cached"] for s in stats) > 0
+        # search modes forward through the pool (single + batch paths)
+        q = QUERIES[0]
+        boost = {"user": 2.0}
+        for kwargs in ({"role": "user"}, {"role_boost": boost},
+                       {"match_mode": "all"}):
+            want = direct.search(q, k=8, **kwargs).to_pandas()
+            assert svc.search(q, k=8, **kwargs).to_pandas().equals(want)
+            assert svc.search_many([q], k=8, **kwargs)[0].to_pandas().equals(want)
     finally:
         svc.shutdown()
 
