@@ -6,12 +6,18 @@ workers/processes (no PYTHONHASHSEED dependence):
 - ``hash_str_u64``: SipHash-1-3 of utf8 bytes via ``pandas.util.hash_array``
   with the fixed default key — C speed, vectorized over object arrays.
 - ``splitmix64``: cheap bijective mixer used to combine keys.
-- ``doc_id_u64``: the engine's internal document id,
-  ``mix(hash(conv_id) ^ mix(turn_idx))``.  Internal only — every
-  user-visible output surfaces ``(conv_id, turn_idx)``; at 10^12-turn
-  scale this would widen to 128 bits (two u64 columns) or be replaced by
-  a dense per-bucket enumeration to improve delta compression.  The build
-  verifies injectivity on its input (count(distinct doc_id) == n_docs).
+- ``doc_id_i64``: the engine's internal document id,
+  ``mix(hash(conv_id) ^ mix(turn_idx)) >> 1`` — the 63-bit truncation
+  keeps the id a non-negative int64 (Ray groupby / Arrow / DuckDB safe)
+  and is what the collision check and range partitioning reason over.
+  Internal only — every user-visible output surfaces
+  ``(conv_id, turn_idx)``; at 10^12-turn scale this would widen to 128
+  bits (two u64 columns) or be replaced by a dense per-bucket
+  enumeration to improve delta compression.  The build verifies
+  injectivity on its input (count(distinct doc_id) == n_docs).
+- ``range_shift``: THE doc_id → doc-range mapping (top bits of the
+  63-bit id); every partitioner (runs, docstats, rangemap, merge) must
+  use this one definition or postings get misrouted.
 - ``term_shard``: crc32(term) % n_shards, the posting-shard partitioner
   (reimagines the per-first-letter buckets of
   reference ``Part A/posting_file_factory.py:25-51`` without the
@@ -25,7 +31,16 @@ import zlib
 import numpy as np
 import pandas as pd
 
-__all__ = ["splitmix64", "hash_str_u64", "doc_id_i64", "term_shard"]
+__all__ = ["splitmix64", "hash_str_u64", "doc_id_i64", "term_shard", "range_shift"]
+
+
+def range_shift(n_ranges: int) -> int:
+    """Bit shift mapping a 63-bit doc id to its range:
+    ``range = doc_id >> range_shift(n_ranges)``.  n_ranges must be a
+    power of two; the single authority for the range partitioning used
+    by runs/docstats/rangemap/merge."""
+    assert n_ranges >= 1 and n_ranges & (n_ranges - 1) == 0
+    return 63 - int(n_ranges.bit_length() - 1) if n_ranges > 1 else 63
 
 _U64 = np.uint64
 

@@ -101,10 +101,13 @@ def stem(word: str) -> str:
     word = word.lower()
     if len(word) <= 2:
         return word
-    if word.startswith("'"):
-        word = word[1:]
+    # exceptional forms are checked BEFORE the initial apostrophe strip
+    # (official Snowball/NLTK order: "'news" misses the table and stems
+    # to "new"; bare "news" hits it and stays "news")
     if word in _EXCEPTIONS1:
         return _EXCEPTIONS1[word]
+    if word.startswith("'"):
+        word = word[1:]
     if len(word) <= 2:
         return word
     # mark consonant-y as Y: initial y, or y following a vowel

@@ -29,6 +29,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..functions.hashing import range_shift
 from ..profiles import get_profile
 from ..stages.postings import (
     ExplodeEncodeStage,
@@ -61,7 +62,7 @@ class _TokenizePartition:
         self.explode = ExplodeEncodeStage(n_ranges=n_ranges)
         self.index_dir = index_dir
         self.sub_batch = sub_batch
-        self.shift = 63 - int(np.log2(n_ranges)) if n_ranges > 1 else 63
+        self.shift = range_shift(n_ranges)
 
     def _write_by_range(self, sub: str, pid: str, tbl: pa.Table,
                         rng: np.ndarray, dirname: str = "range={u}") -> None:
@@ -232,7 +233,7 @@ def build_index(
     # (rangemap, docmap, merge) already uses — so those stages are
     # shuffle-free per-range maps.
     if not isinstance(source, str) and not manifest.stage_done("docstats"):
-        shift = 63 - int(np.log2(n_ranges)) if n_ranges > 1 else 63
+        shift = range_shift(n_ranges)
 
         def add_range(t: pa.Table) -> pa.Table:
             ids = t["doc_id"].to_numpy()

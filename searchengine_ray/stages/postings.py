@@ -46,7 +46,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.codec import decode_postings, decode_postings_concat, encode_postings
-from ..functions.hashing import term_shard
+from ..functions.hashing import range_shift, term_shard
 
 RUN_SCHEMA = pa.schema(
     [
@@ -91,7 +91,7 @@ class ExplodeEncodeStage:
     def __init__(self, n_ranges: int = 32):
         assert n_ranges & (n_ranges - 1) == 0, "n_ranges must be a power of two"
         self.n_ranges = n_ranges
-        self.shift = 63 - int(np.log2(n_ranges)) if n_ranges > 1 else 63
+        self.shift = range_shift(n_ranges)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -135,7 +135,7 @@ class ExplodeEncodeStage:
             out["fold_key"].append(fold_key_of(surface))
             out["surface"].append(surface)
             out["is_cap"].append(surface[0] in _ASCII_UPPER)
-            out["is_entity"].append(bool(ents[s]))
+            out["is_entity"].append(bool(ents[s:e].any()))
             out["range"].append(int(ranges[s]))
             out["df"].append(int(e - s))
             out["cf"].append(int(tf.sum()))
@@ -314,6 +314,11 @@ class MergeFoldRangeGroup:
 
     def __init__(self, n_shards: int = 16, chunk_docs: int = 262144,
                  rangemap_dir: str | None = None, range_offsets=None):
+        if (rangemap_dir is None) != (range_offsets is None):
+            raise ValueError(
+                "rangemap_dir and range_offsets must be provided together "
+                "(dense-id remap needs both)"
+            )
         self.n_shards = n_shards
         self.chunk_docs = chunk_docs
         self.rangemap_dir = rangemap_dir
@@ -332,12 +337,11 @@ class MergeFoldRangeGroup:
             )
             deltas = varbyte_decode(np.frombuffer(t["ids_blob"][0].as_py(), np.uint8))
             ids = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
-            # groups arrive ordered by (fold_key, range): every range
-            # recurs throughout the task, so cache ALL of them (N/n_ranges
-            # int64 each — the explicit per-range memory bound); a small
-            # cache here thrashes on every group
-            if len(self._range_ids) >= 4096:
-                self._range_ids.clear()
+            # current wiring (build.merge_range_task) runs one range per
+            # task, so this cache holds a single entry — N/n_ranges int64,
+            # the per-worker memory bound; keep only the latest range so
+            # any future multi-range wiring stays bounded too
+            self._range_ids.clear()
             self._range_ids[rng] = ids
         return ids
 
@@ -378,6 +382,15 @@ class MergeFoldRangeGroup:
             shard = int(term_shard([term], self.n_shards)[0])
             n = len(ids)
             n_sub = max(1, -(-n // self.chunk_docs))
+            # chunk_idx packs (range << 16) | sub-chunk into int32: fail
+            # loudly at the packing limit instead of silently colliding
+            # with the next range's chunk space (raise chunk_docs or
+            # widen the packing when a range holds > 2^16 chunks)
+            if n_sub > 0xFFFF or rng > 0x7FFF:
+                raise OverflowError(
+                    f"chunk_idx packing overflow: range={rng}, n_sub={n_sub} "
+                    f"(limits: range < 32768, sub-chunks <= 65535)"
+                )
             for ci in range(n_sub):
                 s, e = ci * self.chunk_docs, min((ci + 1) * self.chunk_docs, n)
                 cid, ctf, clen = ids[s:e], tfs[s:e], lens[s:e]
