@@ -38,4 +38,32 @@ def __getattr__(name):
         from .profiles import PROFILES
 
         return PROFILES
+    if name == "SearchService":
+        from .pipelines.serve import SearchService
+
+        return SearchService
+    if name == "MultiIndexEngine":
+        from .pipelines.incremental import MultiIndexEngine
+
+        return MultiIndexEngine
+    if name == "append_index":
+        from .pipelines.incremental import append_index
+
+        return append_index
+    if name == "compact_index":
+        from .pipelines.incremental import compact_index
+
+        return compact_index
+    if name == "maybe_compact":
+        from .pipelines.incremental import maybe_compact
+
+        return maybe_compact
+    if name == "batch_search":
+        from .pipelines.search_batch import batch_search
+
+        return batch_search
+    if name == "ConversationSearch":
+        from .pipelines.search import ConversationSearch
+
+        return ConversationSearch
     raise AttributeError(name)
