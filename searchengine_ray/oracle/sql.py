@@ -180,6 +180,18 @@ LIMIT 10
         "bm25_topk": _topk_sql("c.bm25"),
         "expanded_search": _topk_sql(blend, cand_cte=_CAND_WEIGHTED),
         "conjunctive_topk": _topk_sql(blend, cand_cte=_CAND_ALL),
+        "context_windows": SEARCH_PREFIX + ", " + _CAND + f""",
+top3 AS (
+    SELECT c.conv_id, c.turn_idx
+    FROM cand c
+    QUALIFY row_number() OVER (
+        ORDER BY floor(({blend}) * 1000000 + 0.5) DESC, c.conv_id, c.turn_idx
+    ) <= 3)
+SELECT t.conv_id, h.turn_idx AS hit_turn_idx, t.turn_idx, t.role, t.text
+FROM top3 h
+JOIN transcripts t ON t.conv_id = h.conv_id
+                  AND abs(t.turn_idx - h.turn_idx) <= 1
+""",
         "embedding_rerank_topk": SEARCH_PREFIX + ", " + _CAND + f""",
 top20 AS (
     SELECT c.conv_id, c.turn_idx

@@ -218,6 +218,21 @@ def q_role_boost_search(sf_dir: str) -> pa.Table:
     )
 
 
+def q_context_windows(sf_dir: str) -> pa.Table:
+    """Top-3 hits hydrated with their ±1 surrounding turns."""
+    import pyarrow.parquet as pq
+
+    from .search import fetch_context_windows
+
+    from ..sources.transcripts import derive_transcripts_batch
+
+    eng = engine_for(sf_dir)
+    res = eng.search(SEARCH_QUERY_TEXT, k=3)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    transcripts = derive_transcripts_batch(docs)
+    return fetch_context_windows(res, transcripts, window=1)
+
+
 def q_conjunctive_topk(sf_dir: str) -> pa.Table:
     """AND semantics: only turns containing every resolved query term."""
     eng = engine_for(sf_dir)
@@ -264,6 +279,7 @@ SEARCH_CORE_QUERIES = {
     "role_boost_search": q_role_boost_search,
     "embedding_rerank_topk": q_embedding_rerank_topk,
     "conjunctive_topk": q_conjunctive_topk,
+    "context_windows": q_context_windows,
     "rerank_search": q_rerank_search,
     "tfidf_doc_weights": q_tfidf_doc_weights,
 }

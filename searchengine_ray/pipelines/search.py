@@ -438,6 +438,71 @@ def _empty_conv_result() -> pa.Table:
     )
 
 
+def fetch_context_windows(results: pa.Table, source, window: int = 1) -> pa.Table:
+    """Hydrate ranked hits with their surrounding turns: for each result
+    row, the turns of the same conversation with |turn_idx − hit| ≤
+    ``window`` (the context a reader or a reranker wants around a hit).
+
+    ``source`` is the transcript parquet path/dir (or an in-memory
+    table); the path read pushes a conv_id predicate down so only the
+    hit conversations' row groups leave storage — O(hits · window),
+    never a corpus scan.  → (conv_id, hit_turn_idx, turn_idx, role,
+    text) ordered by (conv, hit, turn)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    if results.num_rows == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "hit_turn_idx": pa.array([], pa.int32()),
+                "turn_idx": pa.array([], pa.int32()),
+                "role": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    convs = results["conv_id"].to_pylist()
+    hits = results["turn_idx"].to_numpy()
+    wanted = sorted(set(convs))
+    if isinstance(source, pa.Table):
+        t = source.filter(pc.is_in(source["conv_id"], value_set=pa.array(wanted))).select(
+            ["conv_id", "turn_idx", "role", "text"]
+        )
+    else:
+        t = pads.dataset(source).to_table(
+            columns=["conv_id", "turn_idx", "role", "text"],
+            filter=pads.field("conv_id").isin(wanted),
+        )
+    tc = t["conv_id"].to_numpy(zero_copy_only=False)
+    tt = t["turn_idx"].to_numpy()
+    order = np.lexsort((tt, tc))
+    tc, tt = tc[order], tt[order]
+    roles = t["role"].to_numpy(zero_copy_only=False)[order]
+    texts = t["text"].to_numpy(zero_copy_only=False)[order]
+
+    out = {"conv_id": [], "hit_turn_idx": [], "turn_idx": [], "role": [], "text": []}
+    for conv, hit in sorted(zip(convs, (int(h) for h in hits))):
+        lo = np.searchsorted(tc, conv, side="left")
+        hi = np.searchsorted(tc, conv, side="right")
+        seg = slice(lo, hi)
+        sel = np.flatnonzero(np.abs(tt[seg] - hit) <= window) + lo
+        for j in sel:
+            out["conv_id"].append(conv)
+            out["hit_turn_idx"].append(hit)
+            out["turn_idx"].append(int(tt[j]))
+            out["role"].append(roles[j])
+            out["text"].append(texts[j])
+    return pa.table(
+        {
+            "conv_id": pa.array(out["conv_id"], pa.string()),
+            "hit_turn_idx": pa.array(out["hit_turn_idx"], pa.int32()),
+            "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+            "role": pa.array(out["role"], pa.string()),
+            "text": pa.array(out["text"], pa.string()),
+        }
+    )
+
+
 class ConversationSearch:
     """Conversation-level retrieval over the turn index.
 

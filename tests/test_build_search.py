@@ -108,6 +108,21 @@ def test_conjunctive_match(built):
     assert one.equals(one_all)
 
 
+def test_context_windows(built):
+    from searchengine_ray.pipelines.search import fetch_context_windows
+
+    src, idx, _ = built
+    qe = QueryEngine(idx)
+    res = qe.search(QUERIES[0], k=3)
+    ctx = fetch_context_windows(res, src, window=1).to_pandas()
+    hits = set(zip(res["conv_id"].to_pylist(), res["turn_idx"].to_pylist()))
+    # every hit appears as its own context row; neighbors within ±1 only
+    assert hits <= set(zip(ctx.conv_id, ctx.turn_idx))
+    assert (abs(ctx.turn_idx - ctx.hit_turn_idx) <= 1).all()
+    assert set(zip(ctx.conv_id, ctx.hit_turn_idx)) == hits
+    assert ctx.text.notna().all()
+
+
 def test_role_boost(built):
     """role_boost multiplies each turn's score by its role's weight and
     re-ranks; weight 1.0 for every role is a no-op."""
