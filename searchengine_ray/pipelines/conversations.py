@@ -19,7 +19,9 @@ def _conv_stats_partial(batch: pa.Table) -> pa.Table:
     """Per-batch partial per-conversation aggregates."""
     conv = batch["conv_id"].to_numpy(zero_copy_only=False)
     role = batch["role"].to_numpy(zero_copy_only=False)
-    n_chars = np.array([len(t) for t in batch["text"].to_pylist()], dtype=np.int64)
+    import pyarrow.compute as pc
+
+    n_chars = pc.utf8_length(batch["text"]).to_numpy().astype(np.int64)
     order = np.argsort(conv, kind="stable")
     conv, role, n_chars = conv[order], role[order], n_chars[order]
     uniq, starts = np.unique(conv, return_index=True)

@@ -125,7 +125,7 @@ class SpellExpansion:
                 for e1 in self._edits1(low):
                     cands.update(c for c in self._edits1(e1) if reader.has_term(c))
             if cands:
-                best = max(cands, key=lambda c: (reader._dict[c][1], c))  # cf, then term
+                best = max(cands, key=lambda c: (reader.cf(c), c))  # cf, then term
                 out[best] = out.get(best, 0) + w
             else:
                 out[term] = out.get(term, 0) + w
@@ -155,18 +155,31 @@ class EmbeddingKNNExpansion:
         self.new_weight = new_weight
         self.existing_bonus = existing_bonus
 
+    def _vocab_matrix(self, reader):
+        """Sorted vocab + embedding matrix, computed once per reader (the
+        vocabulary is static for a reader's lifetime)."""
+        cached = getattr(self, "_vm_cache", None)
+        if cached is not None and cached[0] is reader:
+            return cached[1], cached[2]
+        vocab = sorted(reader.vocabulary())
+        vmat = self.vectors(vocab) if vocab else np.zeros((0, self.vectors.dim))
+        self._vm_cache = (reader, vocab, vmat)
+        return vocab, vmat
+
     def __call__(self, raw: dict[str, float], engine) -> dict[str, float]:
         if len(raw) >= self.max_query_terms:
             return raw
-        vocab = sorted(engine.reader.vocabulary())
+        vocab, vmat = self._vocab_matrix(engine.reader)
         if not vocab:
             return raw
-        vmat = self.vectors(vocab)
         out = dict(raw)
         qmat = self.vectors([t.lower() for t in raw])
         for i, term in enumerate(list(raw)):
             d = np.linalg.norm(vmat - qmat[i], axis=1)
-            for j in np.argsort(d, kind="stable")[: self.k + 1]:
+            added = 0
+            # nearest neighbours excluding the term itself, capped at k
+            # new terms even when the term is out-of-vocabulary
+            for j in np.argsort(d, kind="stable"):
                 cand = vocab[int(j)]
                 if cand == term or cand == term.lower():
                     continue
@@ -174,6 +187,9 @@ class EmbeddingKNNExpansion:
                     out[cand] += self.existing_bonus
                 else:
                     out[cand] = self.new_weight
+                added += 1
+                if added >= self.k:
+                    break
         return out
 
 
@@ -236,19 +252,29 @@ def rerank_by_embedding(engine, results, query: str, vectors=None,
         return results
     qvec = vectors(list(raw)).mean(axis=0)
 
-    dv = pads.dataset(os.path.join(engine.reader.index_dir, "doc_vectors")).to_table()
-    ids = dv["doc_id"].to_numpy()
-    order = np.argsort(ids)
-    ids = ids[order]
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in dv["vec"].to_pylist()])[order]
-
     from ..functions.hashing import doc_id_i64
 
     conv = np.asarray(results["conv_id"].to_pylist(), dtype=object)
     turn = results["turn_idx"].to_numpy()
     rid = doc_id_i64(conv, turn)
-    pos = np.searchsorted(ids, rid)
-    dvecs = mat[pos]
+    # read ONLY the k result docs' vectors (predicate pushdown), not the
+    # whole doc_vectors table
+    dv = pads.dataset(os.path.join(engine.reader.index_dir, "doc_vectors")).to_table(
+        filter=pads.field("doc_id").isin(sorted(set(int(r) for r in rid)))
+    )
+    ids = dv["doc_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in dv["vec"].to_pylist()])[order] \
+        if dv.num_rows else np.zeros((0, vectors.dim))
+    pos = np.searchsorted(ids, rid).clip(0, max(len(ids) - 1, 0))
+    found = len(ids) > 0
+    hit = (ids[pos] == rid) if found else np.zeros(len(rid), dtype=bool)
+    dvecs = np.zeros((len(rid), mat.shape[1] if found else vectors.dim))
+    if found:
+        dvecs[hit] = mat[pos[hit]]
+    # docs without a stored vector (e.g. appended after compute_doc_vectors)
+    # keep the zero vector: maximal distance, never a neighbour's vector
     dist = np.linalg.norm(dvecs - qvec, axis=1)
     inv = 1.0 / np.maximum(dist, 1e-12)
     scores = results["score"].to_numpy()

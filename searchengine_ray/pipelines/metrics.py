@@ -7,8 +7,11 @@ Semantics preserved exactly:
 - ``recall``: per-query Σy_true / n_relevant, macro-averaged
   (metrics.py:36-47);
 - ``mean_average_precision``: per query, average of P@(position of each
-  relevant result); queries with no relevant retrieved contribute 0
-  (metrics.py:65-80).
+  relevant result); a query present in the frame with no relevant rows
+  contributes 0, and — reference-exactly (metrics.py:65-80 divides by
+  the number of queries PRESENT in the df) — a query that joined zero
+  qrel rows drops out of the MAP/precision denominators entirely, while
+  p@n and recall average over ALL queries.
 
 ``evaluate`` reproduces the golden harness join: inner-join ranked
 results with the qrels on (query, doc)

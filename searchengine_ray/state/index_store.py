@@ -106,6 +106,10 @@ class IndexReader:
     def has_term(self, term: str) -> bool:
         return term in self._dict
 
+    def cf(self, term: str) -> int:
+        """Corpus frequency (total occurrences) of a dictionary term."""
+        return self._dict[term][1]
+
     def df(self, term: str) -> int:
         if self.df_override is not None:
             return self.df_override[term]
@@ -191,8 +195,10 @@ class IndexReader:
                     for ci, run in zip(tbl["chunk_idx"].to_pylist(), tbl["run"].to_pylist())
                 }
         if decoded:
-            self.stats["chunks_decoded"] += len(decoded)
             with self._cache_lock:
+                # stats under the lock too: postings() runs from query
+                # threads and += is a read-modify-write
+                self.stats["chunks_decoded"] += len(decoded)
                 for ci, p in decoded.items():
                     self._cache_put(term, ci, p)
         merged = {**have, **decoded}
@@ -236,10 +242,20 @@ class IndexReader:
         scan is consumed batch-by-batch so peak transient memory is one
         record batch, never the whole postings table; retained memory is
         bounded by the LRU budget as usual.  Returns chunks decoded."""
+        def _cold(t: str) -> bool:
+            # a term is warm only when its meta is known AND every chunk
+            # the meta names is still resident (LRU eviction can leave
+            # meta without chunks — re-warming must re-decode those)
+            meta = self._meta_cache.get(t)
+            if meta is None:
+                return True
+            have = self._term_cis.get(t, ())
+            return any(int(ci) not in have for ci in meta["chunk_idx"])
+
         if terms is None:
-            want = {t for t in self._dict if t not in self._meta_cache}
+            want = {t for t in self._dict if _cold(t)}
         else:
-            want = {t for t in terms if t in self._dict and t not in self._meta_cache}
+            want = {t for t in terms if t in self._dict and _cold(t)}
         if not want:
             return 0
         # one pass PER SHARD: a term's chunks all live in its crc32 shard,
