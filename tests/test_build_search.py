@@ -86,6 +86,44 @@ def test_conversation_search_against_bruteforce(built):
         assert np.allclose(got.score, best.score)
 
 
+def test_wand_prunes_on_selective_queries(tmp_path):
+    """On a Zipf vocabulary (the regime the bench corpus lacks), a
+    rare+head query closes the wand candidate set early and block-max
+    skipping decodes strictly fewer chunks than exact — with identical
+    results."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    n = 8000
+    vocab = np.array([f"w{i:05d}" for i in range(4000)])
+    probs = 1.0 / np.arange(1, 4001) ** 1.2
+    probs /= probs.sum()
+    texts = [" ".join(rng.choice(vocab, size=30, p=probs)) for _ in range(n)]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([f"c{i % 499:04d}" for i in range(n)], pa.string()),
+            "turn_idx": pa.array([i // 499 for i in range(n)], pa.int32()),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array([""] * n, pa.string()),
+            "ts": pa.array([0] * n, pa.timestamp("us")),
+        }
+    )
+    idx = str(tmp_path / "zipf_idx")
+    build_index(tbl, idx, profile="simple", chunk_docs=512)
+    probe = QueryEngine(idx)
+    dic = sorted(probe.reader._dict.items(), key=lambda kv: -kv[1][0])
+    rare = next(t for t, v in dic if 3 <= v[0] <= 10)
+    q = f"{rare} {dic[0][0]} {dic[1][0]}"
+
+    e1 = QueryEngine(idx)
+    r1 = e1.search(q, k=3)
+    e2 = QueryEngine(idx)
+    r2 = e2.search(q, k=3, method="wand")
+    assert r1.to_pandas().equals(r2.to_pandas())
+    assert e2.reader.stats["chunks_decoded"] < e1.reader.stats["chunks_decoded"]
+
+
 def test_conjunctive_match(built):
     """match_mode='all' keeps exactly the docs every term matches, with
     unchanged scores; single-term queries are unaffected."""
