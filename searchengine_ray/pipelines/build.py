@@ -492,29 +492,76 @@ def build_index(
         )
     _mark("postings")
 
-    # ---- stage: dictionary (tiny aggregate over chunk metadata) ---------
-    # column-pruned parquet scan of metadata only — a driver-side DuckDB
-    # aggregate, not a Ray job (the data is vocabulary-sized)
+    # ---- stage: compact + dictionary ------------------------------------
+    # The merge writes one part file per (range task × shard): correct,
+    # but a cold term read then opens every part in its shard (n_ranges
+    # footers + scans per term).  One task per shard rewrites its chunk
+    # rows TERM-SORTED into a single file with small row groups, so a
+    # cold term fetch is one footer + a stats-pruned row-group read.
+    # The same pass computes the shard's dictionary rows (a term lives in
+    # exactly one crc32 shard, so per-shard term aggregates are final) —
+    # no separate vocabulary re-scan.  At 10^12-posting scale each shard
+    # task streams its own files only (shard count scales with corpus)
+    # and would roll over to size-bounded sorted files.
     if not manifest.stage_done("dictionary"):
-        import duckdb
-        import pyarrow.parquet as _pq
+        from ..state.index_store import COMPACT_ROW_GROUP
 
-        con = duckdb.connect()
-        dic = con.sql(
-            f"""SELECT term, sum(df_chunk)::BIGINT AS df,
-                       sum(cf_chunk)::BIGINT AS cf,
-                       min(shard)::INTEGER AS shard
-                FROM read_parquet('{index_dir}/postings/*/*.parquet',
-                                  hive_partitioning=true)
-                GROUP BY term"""
-        ).arrow()
-        con.close()
+        postings_root = os.path.join(index_dir, "postings")
+
+        def compact_shard_task(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            outs = []
+            for shard in batch["shard"].to_pylist():
+                sdir = os.path.join(postings_root, f"shard={shard}")
+                cpath = os.path.join(sdir, "compact.parquet")
+                parts = [
+                    f for f in glob.glob(os.path.join(sdir, "*.parquet"))
+                    if os.path.basename(f) != "compact.parquet"
+                ]
+                if parts:
+                    tbl = pa.concat_tables([pq.read_table(f) for f in parts])
+                    order = _pc.sort_indices(
+                        tbl,
+                        sort_keys=[("term", "ascending"), ("chunk_idx", "ascending")],
+                    )
+                    tbl = tbl.take(order)
+                    pq.write_table(tbl, cpath + ".tmp",
+                                   row_group_size=COMPACT_ROW_GROUP)
+                    os.replace(cpath + ".tmp", cpath)
+                    for f in parts:
+                        os.remove(f)
+                elif os.path.exists(cpath):  # idempotent re-run
+                    tbl = pq.read_table(cpath, columns=["term", "df_chunk", "cf_chunk"])
+                else:
+                    continue
+                g = tbl.group_by("term").aggregate(
+                    [("df_chunk", "sum"), ("cf_chunk", "sum")]
+                )
+                outs.append(pa.table({
+                    "term": g["term"],
+                    "df": g["df_chunk_sum"],
+                    "cf": g["cf_chunk_sum"],
+                    "shard": pa.array(
+                        np.full(g.num_rows, shard, np.int32), pa.int32()
+                    ),
+                }))
+            if not outs:
+                return pa.table({
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "cf": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int32()),
+                })
+            return pa.concat_tables(outs)
+
         dict_dir = os.path.join(index_dir, "dictionary")
         shutil.rmtree(dict_dir, ignore_errors=True)
-        os.makedirs(dict_dir, exist_ok=True)
-        _pq.write_table(
-            dic if isinstance(dic, pa.Table) else pa.table(dic),
-            os.path.join(dict_dir, "part-0.parquet"),
+        (
+            rd.from_items([{"shard": s} for s in range(n_shards)])
+            .map_batches(compact_shard_task, batch_size=1, batch_format="pyarrow",
+                         num_cpus=1)
+            .write_parquet(dict_dir)
         )
         manifest.mark_stage("dictionary")
     _mark("dictionary")

@@ -161,14 +161,11 @@ class QueryEngine:
 
     # ------------------------------------------------------------------
     def _fetch_postings(self, terms: list[str]) -> dict:
-        """Fetch/decode postings for all query terms; cold terms in
-        parallel threads (parquet reads release the GIL)."""
-        cold = [t for t in terms if not self.reader._term_cis.get(t)]
-        if len(cold) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=min(8, len(cold))) as ex:
-                list(ex.map(self.reader.postings, cold))
+        """Fetch/decode postings for all query terms; cold terms go
+        through ONE batched dataset scan (a scan per term re-opens the
+        shard's files each time, and threads don't help — pyarrow's CPU
+        pool is 1 thread under the cluster's OMP_NUM_THREADS=1)."""
+        self.reader.fetch_terms(terms)
         return {t: self.reader.postings(t) for t in terms}
 
     # ------------------------------------------------------------------
@@ -303,6 +300,7 @@ class QueryEngine:
             )
             return p.w_bm25 * bm + p.w_inner * q_tf * max_ntf * np.log10(n / df)
 
+        self.reader.fetch_metas(list(q))  # one batched scan for cold metas
         metas = {t: self.reader.chunk_meta(t) for t in q}
         ubs = {t: float(term_ub(t, q[t], metas[t]["max_ntf"].max())) for t in q}
         terms_sorted = sorted(q, key=lambda t: -ubs[t])

@@ -36,6 +36,12 @@ from ..functions.hashing import term_shard
 # into range_offsets.json
 DOCMAP_ROW_GROUP = 4096
 
+# compacted per-shard postings files are term-sorted with small row
+# groups so a term predicate prunes to the handful of groups holding
+# that term's chunk rows (rows are chunk-sized — up to ~1 MB of run
+# blob each — so groups stay well under worker heap)
+COMPACT_ROW_GROUP = 32
+
 
 def _range_sorted(files) -> list[str]:
     """docmap files in NUMERIC range order — lexicographic sort misorders
@@ -235,6 +241,84 @@ class IndexReader:
             self._cache_postings -= len(old[0])
             self._term_cis[t2].discard(c2)
 
+    def _cold_terms(self, terms) -> list[str]:
+        """Dictionary terms whose meta or any meta-named chunk is not
+        resident (LRU eviction can leave meta without chunks)."""
+        out = []
+        for t in terms:
+            if t not in self._dict:
+                continue
+            meta = self._meta_cache.get(t)
+            if meta is None:
+                out.append(t)
+                continue
+            have = self._term_cis.get(t, ())
+            if any(int(ci) not in have for ci in meta["chunk_idx"]):
+                out.append(t)
+        return out
+
+    def _ingest_chunk_rows(self, tbl: pa.Table) -> int:
+        """Cache meta + decoded chunks from a (term, chunk meta, run)
+        table covering one or more terms COMPLETELY."""
+        n = 0
+        terms_col = tbl["term"].to_pylist()
+        by_term: dict[str, list[int]] = {}
+        for i, t in enumerate(terms_col):
+            by_term.setdefault(t, []).append(i)
+        for t, rows in by_term.items():
+            sub = tbl.take(pa.array(rows, pa.int64()))
+            self._put_meta(t, sub)
+            decoded = {
+                int(ci): decode_postings(run)
+                for ci, run in zip(sub["chunk_idx"].to_pylist(), sub["run"].to_pylist())
+            }
+            n += len(decoded)
+            with self._cache_lock:
+                for ci, p in decoded.items():
+                    self._cache_put(t, ci, p)
+        self.stats["chunks_decoded"] += n
+        return n
+
+    def fetch_terms(self, terms) -> int:
+        """Batched cold fetch for a query's term set: ONE dataset scan
+        with a combined (shard, term) predicate instead of a scan per
+        term — per-term scans re-open every file in the shard for each
+        term, which dominates cold-query latency (pyarrow's CPU pool is
+        1 thread under OMP_NUM_THREADS=1, so threading the per-term
+        scans just serializes them).  Returns chunks decoded."""
+        want = self._cold_terms(terms)
+        if not want:
+            return 0
+        shards = sorted({self._dict[t][2] for t in want})
+        flt = pads.field("shard").isin(shards) & pads.field("term").isin(sorted(want))
+        tbl = self._postings_ds.to_table(
+            columns=["term", "chunk_idx", "doc_min", "doc_max", "max_ntf", "run"],
+            filter=flt,
+        )
+        return self._ingest_chunk_rows(tbl)
+
+    def fetch_metas(self, terms) -> None:
+        """Batched chunk-metadata fetch (no run blobs) for terms whose
+        meta is unknown — the WAND path wants bounds for every query
+        term before deciding which chunks to decode."""
+        want = sorted(
+            t for t in terms if t in self._dict and t not in self._meta_cache
+        )
+        if not want:
+            return
+        shards = sorted({self._dict[t][2] for t in want})
+        flt = pads.field("shard").isin(shards) & pads.field("term").isin(want)
+        tbl = self._postings_ds.to_table(
+            columns=["term", "chunk_idx", "doc_min", "doc_max", "max_ntf"],
+            filter=flt,
+        )
+        terms_col = tbl["term"].to_pylist()
+        by_term: dict[str, list[int]] = {}
+        for i, t in enumerate(terms_col):
+            by_term.setdefault(t, []).append(i)
+        for t, rows in by_term.items():
+            self._put_meta(t, tbl.take(pa.array(rows, pa.int64())))
+
     def preload(self, terms=None) -> int:
         """Bulk-warm the postings caches with ONE streaming dataset scan
         instead of a per-term scan per cold query — the serving-actor
@@ -242,20 +326,7 @@ class IndexReader:
         scan is consumed batch-by-batch so peak transient memory is one
         record batch, never the whole postings table; retained memory is
         bounded by the LRU budget as usual.  Returns chunks decoded."""
-        def _cold(t: str) -> bool:
-            # a term is warm only when its meta is known AND every chunk
-            # the meta names is still resident (LRU eviction can leave
-            # meta without chunks — re-warming must re-decode those)
-            meta = self._meta_cache.get(t)
-            if meta is None:
-                return True
-            have = self._term_cis.get(t, ())
-            return any(int(ci) not in have for ci in meta["chunk_idx"])
-
-        if terms is None:
-            want = {t for t in self._dict if _cold(t)}
-        else:
-            want = {t for t in terms if t in self._dict and _cold(t)}
+        want = set(self._cold_terms(self._dict if terms is None else terms))
         if not want:
             return 0
         # one pass PER SHARD: a term's chunks all live in its crc32 shard,
@@ -273,24 +344,13 @@ class IndexReader:
                 columns=["term", "chunk_idx", "doc_min", "doc_max", "max_ntf", "run"],
                 filter=flt,
             )
-            terms_col = tbl["term"].to_pylist()
-            by_term: dict[str, list[int]] = {}
-            for i, t in enumerate(terms_col):
-                if t in want:
-                    by_term.setdefault(t, []).append(i)
-            for t, rows in by_term.items():
-                sub = tbl.take(pa.array(rows, pa.int64()))
-                self._put_meta(t, sub)
-                decoded = {
-                    int(ci): decode_postings(run)
-                    for ci, run in zip(sub["chunk_idx"].to_pylist(), sub["run"].to_pylist())
-                }
-                n += len(decoded)
-                with self._cache_lock:
-                    for ci, p in decoded.items():
-                        self._cache_put(t, ci, p)
+            if terms is None and len(want) < len(self._dict):
+                # whole-dictionary warmup over a partially warm reader:
+                # drop rows of already-resident terms before ingesting
+                keep = [i for i, t in enumerate(tbl["term"].to_pylist()) if t in want]
+                tbl = tbl.take(pa.array(keep, pa.int64()))
+            n += self._ingest_chunk_rows(tbl)
             del tbl
-        self.stats["chunks_decoded"] += n
         return n
 
     def _term_chunks(self, term: str, columns, extra_filter=None):
