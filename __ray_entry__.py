@@ -43,10 +43,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """Non-SQL-expressible ops (minhash_lsh_pairs, simhash_pairs,
-    ann_ivf_topk, fingerprints) intentionally have no entry — the driver
-    records a rows-only check; pytest covers them with planted dups /
-    recall-vs-brute-force assertions."""
+    """Three ops intentionally have no entry (driver records rows-only):
+    - minhash_lsh_pairs: the column IS the 128-hash minhash Jaccard
+      ESTIMATE — reproducing it in SQL means evaluating 128 permutation
+      min-hashes per shingle set, and the exact-Jaccard twin is already
+      oracled as minhash_verified_pairs (same pair set, recall 1-5e-8).
+    - simhash_pairs: 64-bit simhash + XOR popcount bands; the signature
+      is a custom bit construction with no DuckDB equivalent — pytest
+      pins planted near-dup recovery and signature determinism.
+    - fingerprints: winnowed rolling-hash (numpy Horner over bytes, mod
+      2^61-1) — byte-level stateful scan, not window-SQL-expressible;
+      pytest pins determinism and shift-invariance.
+    Everything else, including both IVF entries (medoid quantizer) and
+    rerank_search (real word-vector rerank), has a DuckDB twin."""
     from searchengine_ray.oracle.sql import search_core_sql
     from searchengine_ray.oracle.sql_ops import ops_sql
 

@@ -27,6 +27,48 @@ def _marker_list(lang: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
 
 
+# medoid-quantizer IVF twin (ivf_topk defaults: n_queries=5, k=10,
+# n_clusters=16, nprobe=4, seed=99; SAMPLE_A/SAMPLE_M from pipelines/ann.py)
+_IVF_SQL = """
+    WITH cent AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS ce,
+               row_number() OVER (
+                   ORDER BY (vec_id * 2654435761 + 99) % 4294967296) - 1 AS cnum
+        FROM embeddings
+        ORDER BY (vec_id * 2654435761 + 99) % 4294967296
+        LIMIT 16),
+    q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < 5),
+    probes AS (
+        SELECT query_id, cnum FROM q, cent
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY floor(list_cosine_similarity(qe, ce) * 1000000 + 0.5) DESC,
+                     cnum) <= 4),
+    assign AS (
+        SELECT e.vec_id, cnum FROM embeddings e, cent
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY floor(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), ce) * 1000000 + 0.5) DESC,
+                     cnum) = 1)
+    SELECT p.query_id, a.vec_id,
+           floor(list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[]))
+                 * 10000 + 0.5) / 10000 AS cos
+    FROM probes p
+    JOIN assign a USING (cnum)
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    JOIN q ON q.query_id = p.query_id
+    WHERE a.vec_id != p.query_id
+    QUALIFY row_number() OVER (
+        PARTITION BY p.query_id
+        ORDER BY floor(list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[]))
+                       * 1000000 + 0.5) DESC,
+                 a.vec_id) <= 10
+"""
+
+
 def ops_sql() -> dict[str, str]:
     r4 = sql_round_half_up
     # minhash_verified_pairs shares this oracle: LSH only PROPOSES
@@ -192,6 +234,15 @@ def ops_sql() -> dict[str, str]:
                 ORDER BY floor(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])) * 1000000 + 0.5) DESC,
                          vec_id) <= 10
         """,
+        # IVF with the default medoid quantizer is fully SQL-expressible:
+        # centroids = the 16 embedding rows with the smallest affine-hash
+        # keys (same (vec_id*A+seed)%2^32 order as ann._sample_embeddings),
+        # assignment/probes rank on floor(cos*1e6+0.5) with lowest-centroid
+        # tie-break — the exact keys the Ray scorers use.  Both ivf entries
+        # share it (ann_ivf_partitioned returns ivf_topk's answer from the
+        # cluster-partitioned on-disk index).
+        "ann_ivf_topk": _IVF_SQL,
+        "ann_ivf_partitioned": _IVF_SQL,
         "embedding_dup_pairs": f"""
             WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

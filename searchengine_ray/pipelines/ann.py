@@ -6,10 +6,18 @@
   (small: n_queries × k).
 - ``embedding_dup_pairs``: embedding-cosine near-duplicate detection over
   a bounded id range (the all-pairs verify step of an embedding dedup).
-- ``ivf_topk``: the scale path — k-means-lite coarse quantizer (seeded,
-  built on a driver-side sample), cluster assignment per batch, then
-  search only the ``nprobe`` closest clusters per query.  Approximate;
-  tests check recall against the brute-force baseline.
+- ``ivf_topk``: the scale path — a coarse quantizer (default: seeded
+  medoid centroids drawn by a deterministic affine-hash sample, which is
+  both partition-order-independent AND SQL-expressible, so the driver
+  gets a DuckDB oracle; ``quantizer="kmeans"`` refines the same sample
+  with k-means-lite), cluster assignment per batch, then search only the
+  ``nprobe`` closest clusters per query.  Approximate; tests check
+  recall against the brute-force baseline.
+
+Global top-k reduces are tree-shaped: every scorer batch emits at most
+k×n_queries candidate rows, a coalescing ``map_batches`` stage folds
+~64k candidate rows at a time back down to k×n_queries, and only that
+bounded remainder reaches the driver (as Arrow refs — no pandas hop).
 """
 
 from __future__ import annotations
@@ -96,6 +104,85 @@ def _final_topk(parts: pa.Table, k: int) -> pa.Table:
     )
 
 
+def _local_topk(batch: pa.Table, k: int) -> pa.Table:
+    """Per-query top-k WITHIN a batch, with the same deterministic order
+    as ``_final_topk`` (rounded-cos key desc, vec_id asc) so tree-reduce
+    levels select exactly the rows the one-shot reduce would."""
+    if batch.num_rows == 0:
+        return batch
+    q = batch["query_id"].to_numpy()
+    v = batch["vec_id"].to_numpy()
+    c = batch["cos"].to_numpy()
+    key = np.floor(c * 1e6 + 0.5)
+    order = np.lexsort((v, -key, q))
+    qs = q[order]
+    starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    rank = np.arange(len(qs)) - np.repeat(starts, np.diff(np.r_[starts, len(qs)]))
+    keep = order[rank < k]
+    return pa.table({
+        "query_id": pa.array(q[keep], pa.int64()),
+        "vec_id": pa.array(v[keep], pa.int64()),
+        "cos": pa.array(c[keep], pa.float64()),
+    })
+
+
+def _reduce_topk(parts, k: int) -> pa.Table:
+    """Tree-reduce a candidate Dataset (query_id, vec_id, cos) to the
+    global top-k: one coalescing partial-top-k level (~64k candidate
+    rows per task → ≤ k×n_queries each), then the bounded remainder is
+    concatenated from Arrow block refs and finished on the driver.
+    Driver traffic is (total_candidates / 65536)·k·q rows instead of
+    every block's k·q — and no ``to_pandas`` round-trip."""
+    import ray
+
+    reduced = parts.map_batches(
+        _local_topk,
+        fn_args=(k,),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    blocks = [b for b in ray.get(reduced.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    return _final_topk(pa.concat_tables(blocks), k)
+
+
+# deterministic affine-hash sample order (odd multiplier → bijective mod
+# 2^32 for vec_id < 2^32, so keys are collision-free and the "first n by
+# key" set is a uniform pseudo-random sample independent of row order)
+SAMPLE_A = 2654435761
+SAMPLE_M = 1 << 32
+
+
+def _sample_embeddings(sf_dir: str, n: int, seed: int = 99) -> pa.Table:
+    """Seeded distributed sample of n embedding rows: each batch keeps
+    its n smallest affine-hash keys (map_batches partial), the driver
+    finishes over the bounded remainder.  Unlike a head ``slice`` this
+    is independent of file/partition order — on partition-correlated
+    100 TB layouts a head sample sees one shard's distribution.
+    Returns rows sorted by key (vec_id order of the sample)."""
+    import ray
+    import ray.data as rd
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        key = (ids * SAMPLE_A + seed) % SAMPLE_M
+        keep = np.argsort(key, kind="stable")[:n]
+        return batch.take(pa.array(np.sort(keep), pa.int64()))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    parts = ds.map_batches(part, batch_format="pyarrow", batch_size=65536)
+    blocks = [b for b in ray.get(parts.to_arrow_refs()) if b.num_rows]
+    tbl = pa.concat_tables(blocks)
+    ids = tbl["vec_id"].to_numpy().astype(np.int64)
+    key = (ids * SAMPLE_A + seed) % SAMPLE_M
+    order = np.argsort(key, kind="stable")[:n]
+    return tbl.take(pa.array(order, pa.int64()))
+
+
 def load_queries(sf_dir: str, n_queries: int = 5):
     import pyarrow.parquet as pq
 
@@ -119,7 +206,7 @@ def brute_force_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pa.Table:
         batch_size=4096,
         concurrency=(1, 4),
     )
-    return _final_topk(pa.Table.from_pandas(parts.to_pandas()), k)
+    return _reduce_topk(parts, k)
 
 
 def embedding_dup_pairs(sf_dir: str, max_id: int = 300, threshold: float = 0.35) -> pa.Table:
@@ -160,8 +247,41 @@ def _kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 8, seed: int 
     return cent
 
 
+def _centroids(sf_dir: str, n_clusters: int, seed: int = 99,
+               quantizer: str = "medoid") -> np.ndarray:
+    """Normalized coarse-quantizer centroids.
+
+    - ``medoid`` (default): the n_clusters embedding rows with the
+      smallest affine-hash keys, in key order — a seeded uniform sample
+      that doubles as SQL-expressible centroids (the DuckDB oracle
+      reproduces the same ORDER BY (vec_id*A+seed)%M LIMIT n selection).
+    - ``kmeans``: k-means-lite refinement of a 2048-row distributed
+      sample (better cells, not SQL-expressible — rows-only checked)."""
+    if quantizer == "medoid":
+        return _normalize(_matrix(_sample_embeddings(sf_dir, n_clusters, seed)))
+    sample = _matrix(_sample_embeddings(sf_dir, 2048, seed))
+    return _normalize(_kmeans_lite(sample, n_clusters, seed=seed))
+
+
+def _assign_keys(m_n: np.ndarray, cent_n: np.ndarray) -> np.ndarray:
+    """Rounded cosine keys vs every centroid — assignment and probe
+    selection both rank on floor(cos·1e6 + 0.5) with lowest-centroid
+    tie-break (np.argmax takes the first max), matching the oracle's
+    ORDER BY key DESC, cnum."""
+    return np.floor(m_n @ cent_n.T * 1e6 + 0.5)
+
+
+def _probe_sets(qids, qmat: np.ndarray, cent_n: np.ndarray, nprobe: int) -> dict:
+    keys = _assign_keys(_normalize(qmat), cent_n)
+    cnum = np.arange(cent_n.shape[0])
+    return {
+        int(qid): set(np.lexsort((cnum, -keys[i]))[:nprobe].tolist())
+        for i, qid in enumerate(qids)
+    }
+
+
 def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_clusters: int = 16,
-             nprobe: int = 4) -> pa.Table:
+             nprobe: int = 4, quantizer: str = "medoid") -> pa.Table:
     """Approximate top-k: search only the nprobe closest centroids'
     clusters per query.  At 10^12 scale the assignment is a map_batches
     stage writing cluster-partitioned parquet; here clusters stay in
@@ -170,17 +290,8 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_clusters: int = 16,
     import ray.data as rd
 
     qids, qmat = load_queries(sf_dir, n_queries)
-    sample = _matrix(
-        __import__("pyarrow.parquet", fromlist=["pq"]).read_table(
-            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
-        ).slice(0, 2048)
-    )
-    cent = _kmeans_lite(sample, n_clusters)
-    cent_n = _normalize(cent)
-    probes = {
-        int(qid): set(np.argsort(-(_normalize(qmat[[i]]) @ cent_n.T)[0])[:nprobe].tolist())
-        for i, qid in enumerate(qids)
-    }
+    cent_n = _centroids(sf_dir, n_clusters, quantizer=quantizer)
+    probes = _probe_sets(qids, qmat, cent_n, nprobe)
     ref = ray.put((qids, qmat, cent_n, probes))
 
     class IVFScorer:
@@ -194,7 +305,7 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_clusters: int = 16,
         def __call__(self, batch: pa.Table) -> pa.Table:
             vec_ids = batch["vec_id"].to_numpy()
             m = _normalize(_matrix(batch))
-            assign = np.argmax(m @ self.cent.T, axis=1)
+            assign = np.argmax(_assign_keys(m, self.cent), axis=1)
             cos = m @ self.q.T
             out_q, out_v, out_c = [], [], []
             for j, qid in enumerate(self.qids):
@@ -217,37 +328,34 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_clusters: int = 16,
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     parts = ds.map_batches(IVFScorer, fn_constructor_args=(ref, k),
                            batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
-    return _final_topk(pa.Table.from_pandas(parts.to_pandas()), k)
+    return _reduce_topk(parts, k)
 
 
 # ---------------------------------------------------------------------------
 # IVF with a persisted cluster-partitioned index (the 100 TB layout)
 # ---------------------------------------------------------------------------
 
-def ivf_build(sf_dir: str, ivf_dir: str, n_clusters: int = 16, seed: int = 99) -> str:
+def ivf_build(sf_dir: str, ivf_dir: str, n_clusters: int = 16, seed: int = 99,
+              quantizer: str = "medoid") -> str:
     """Build the on-disk IVF index: vectors written as cluster-partitioned
     parquet (one directory per coarse cell) plus the centroid matrix.
     A probe-pruned search then READS only nprobe/n_clusters of the data —
     partition pruning at the storage layer, which is what makes IVF an
     index rather than a filter.  Same quantizer as ``ivf_topk`` (seeded
-    sample + k-means-lite), so results are identical for equal params."""
+    distributed sample), so results are identical for equal params."""
     import json
     import os
     import shutil
 
-    import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
-    sample = _matrix(
-        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).slice(0, 2048)
-    )
-    cent_n = _normalize(_kmeans_lite(sample, n_clusters, seed=seed))
+    cent_n = _centroids(sf_dir, n_clusters, seed=seed, quantizer=quantizer)
     ref = ray.put(cent_n)
 
     def assign(batch: pa.Table) -> pa.Table:
         m = _normalize(_matrix(batch))
-        a = np.argmax(m @ ray.get(ref).T, axis=1).astype(np.int32)
+        a = np.argmax(_assign_keys(m, ray.get(ref)), axis=1).astype(np.int32)
         # "cl" rides inside the files (partition_cols strips "cluster")
         return batch.append_column("cl", pa.array(a, pa.int32())).append_column(
             "cluster", pa.array(a, pa.int32())
@@ -276,11 +384,7 @@ def ivf_search(ivf_dir: str, qids: np.ndarray, qmat: np.ndarray, k: int = 10,
 
     with open(os.path.join(ivf_dir, "centroids.json")) as f:
         cent_n = np.asarray(json.load(f)["centroids"])
-    qn = _normalize(qmat)
-    probes = {
-        int(qid): set(np.argsort(-(qn[[i]] @ cent_n.T)[0])[:nprobe].tolist())
-        for i, qid in enumerate(qids)
-    }
+    probes = _probe_sets(qids, qmat, cent_n, nprobe)
     import glob as _glob
 
     needed = sorted(set().union(*probes.values()))
@@ -328,4 +432,4 @@ def ivf_search(ivf_dir: str, qids: np.ndarray, qmat: np.ndarray, k: int = 10,
         .map_batches(ProbeScorer, fn_constructor_args=(ref, k),
                      batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
     )
-    return _final_topk(pa.Table.from_pandas(parts.to_pandas()), k)
+    return _reduce_topk(parts, k)

@@ -79,11 +79,12 @@ def q_ann_ivf_partitioned(sf_dir: str):
     import os
 
     # cache key includes the source file's size+mtime so a regenerated
-    # corpus at the same path can never serve stale clusters
+    # corpus at the same path can never serve stale clusters, plus a
+    # layout version (v2: medoid quantizer) so quantizer changes rebuild
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     tag = os.path.normpath(sf_dir).replace("/", "_").strip("_")
-    ivf_dir = f"/tmp/searchengine_ray_ivf_{tag}_{st.st_size}_{int(st.st_mtime)}"
+    ivf_dir = f"/tmp/searchengine_ray_ivf_v2_{tag}_{st.st_size}_{int(st.st_mtime)}"
     if not os.path.exists(os.path.join(ivf_dir, "centroids.json")):
         ann.ivf_build(sf_dir, ivf_dir)
     qids, qmat = ann.load_queries(sf_dir, 5)

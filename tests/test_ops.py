@@ -169,13 +169,54 @@ def test_ann_brute_force_matches_numpy():
 
 def test_ann_ivf_recall():
     bf = ann.brute_force_topk("/root/testdata/sf0.001", n_queries=5, k=10).to_pandas()
-    ivf = ann.ivf_topk("/root/testdata/sf0.001", n_queries=5, k=10, nprobe=8).to_pandas()
-    recalls = []
-    for qid in bf.query_id.unique():
-        b = set(bf[bf.query_id == qid].vec_id)
-        v = set(ivf[ivf.query_id == qid].vec_id)
-        recalls.append(len(b & v) / len(b))
-    assert np.mean(recalls) >= 0.5  # nprobe=8 of 16 clusters on random vectors
+    recalls = {"medoid": [], "kmeans": []}
+    for quant in recalls:
+        ivf = ann.ivf_topk("/root/testdata/sf0.001", n_queries=5, k=10,
+                           nprobe=8, quantizer=quant).to_pandas()
+        for qid in bf.query_id.unique():
+            b = set(bf[bf.query_id == qid].vec_id)
+            v = set(ivf[ivf.query_id == qid].vec_id)
+            recalls[quant].append(len(b & v) / len(b))
+    # nprobe=8 of 16 clusters on random vectors
+    assert np.mean(recalls["medoid"]) >= 0.5
+    assert np.mean(recalls["kmeans"]) >= 0.5
+
+
+def test_ann_reduce_is_distributed(monkeypatch):
+    """Regression (round-2 VERDICT): the global top-k reduce must be a
+    tree (partial top-k map_batches + bounded Arrow-ref remainder), not
+    a driver-side to_pandas over every block's candidates."""
+    import ray.data
+
+    def _boom(self, *a, **k):
+        raise AssertionError("Dataset.to_pandas() called inside an ANN pipeline")
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", _boom)
+    bf = ann.brute_force_topk("/root/testdata/sf0.001", n_queries=2, k=5)
+    assert bf.num_rows == 10
+    ivf = ann.ivf_topk("/root/testdata/sf0.001", n_queries=2, k=5)
+    assert ivf.num_rows == 10
+
+
+def test_ann_sample_is_partition_order_independent(tmp_path):
+    """Regression (round-2 VERDICT): the quantizer sample must not be a
+    head slice of the first file — reversing/reshuffling the file layout
+    must yield the same sampled rows."""
+    src = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{src}/embeddings.parquet")
+    # adversarial layout: rows in reverse order, split across two files
+    rev = t.take(pa.array(np.arange(t.num_rows)[::-1], pa.int64()))
+    alt = tmp_path / "alt"
+    alt.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(rev.slice(0, half), str(alt / "embeddings.parquet"))
+    # _sample_embeddings reads <dir>/embeddings.parquet; single reversed
+    # file is enough to break a head-slice sampler
+    pq.write_table(rev, str(alt / "embeddings.parquet"))
+    a = ann._sample_embeddings(src, 16)
+    b = ann._sample_embeddings(str(alt), 16)
+    assert sorted(a["vec_id"].to_pylist()) == sorted(b["vec_id"].to_pylist())
+    assert a["vec_id"].to_pylist() == b["vec_id"].to_pylist()  # key order too
 
 
 def test_curation_pipeline(planted_dir):
