@@ -221,6 +221,52 @@ ORDER BY floor(list_cosine_similarity(qv.qe, CAST(e.embedding AS DOUBLE[])) * 10
          d.conv_id, d.turn_idx
 LIMIT 10
 """,
+        # Q12 rerank twin: word w = embeddings row vec_id = rank of w in
+        # the sorted vocabulary (the engine writes the same mapping
+        # through vectors_real.txt + the S5 text loader); doc vector =
+        # Σ tf·vec/doc_len over ALL the doc's terms; final = 0.95·
+        # (inv-euclid/max) + 0.05·(score/max) over the blend top-20.
+        "rerank_search": SEARCH_PREFIX + ", " + _CAND + f""",
+vocab AS (
+    SELECT term, row_number() OVER (ORDER BY term) - 1 AS r FROM df),
+wv AS (
+    SELECT v.term, CAST(e.embedding AS DOUBLE[]) AS vec
+    FROM vocab v JOIN embeddings e ON e.vec_id = v.r),
+dims AS (
+    SELECT unnest(range(1, len((SELECT embedding FROM embeddings LIMIT 1)) + 1)) AS pos),
+top20 AS (
+    SELECT c.conv_id, c.turn_idx, ({blend}) AS s
+    FROM cand c
+    QUALIFY row_number() OVER (
+        ORDER BY floor(({blend}) * 1000000 + 0.5) DESC, c.conv_id, c.turn_idx
+    ) <= 20),
+dvec AS (
+    SELECT tf.conv_id, tf.turn_idx, d.pos,
+           sum(tf.tf * wv.vec[d.pos]) / max(ds.doc_len) AS dval
+    FROM tf
+    JOIN top20 t ON t.conv_id = tf.conv_id AND t.turn_idx = tf.turn_idx
+    JOIN wv ON wv.term = tf.term
+    JOIN docstats ds ON ds.conv_id = tf.conv_id AND ds.turn_idx = tf.turn_idx
+    CROSS JOIN dims d
+    GROUP BY tf.conv_id, tf.turn_idx, d.pos),
+qv AS (
+    SELECT d.pos, sum(wv.vec[d.pos]) / (SELECT count(*) FROM qterms) AS qval
+    FROM qterms q JOIN wv ON wv.term = q.term CROSS JOIN dims d
+    GROUP BY d.pos),
+dist AS (
+    SELECT v.conv_id, v.turn_idx, sqrt(sum(pow(v.dval - q.qval, 2))) AS dist
+    FROM dvec v JOIN qv q ON q.pos = v.pos
+    GROUP BY v.conv_id, v.turn_idx),
+finals AS (
+    SELECT t.conv_id, t.turn_idx,
+           0.95 * ((1.0 / greatest(d.dist, 1e-12))
+                   / max(1.0 / greatest(d.dist, 1e-12)) OVER ())
+         + 0.05 * (t.s / max(t.s) OVER ()) AS final
+    FROM top20 t JOIN dist d ON d.conv_id = t.conv_id AND d.turn_idx = t.turn_idx)
+SELECT conv_id, turn_idx, {sql_round_half_up('final', 4)} AS score
+FROM finals
+ORDER BY floor(final * 1000000 + 0.5) DESC, conv_id, turn_idx
+""",
         "conversation_search": SEARCH_PREFIX + ", " + _CAND + f""",
 scored AS (
     SELECT c.conv_id, c.turn_idx, ({blend}) AS s FROM cand c),

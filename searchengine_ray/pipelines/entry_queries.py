@@ -152,15 +152,48 @@ def q_expanded_search(sf_dir: str) -> pa.Table:
 
 
 def q_rerank_search(sf_dir: str) -> pa.Table:
-    """Embedding rerank of the blend top-k (Q12 semantics; rows-only)."""
-    from .expand import compute_doc_vectors, rerank_by_embedding
+    """Q12 embedding rerank with a REAL word-vector model: the i-th term
+    of the sorted index vocabulary maps to embeddings row vec_id = i,
+    serialized through the reference's ``word v1..vD`` text format and
+    loaded by the S5 loader (TextWordVectors); doc vectors = Σ tf·vec /
+    doc_len (I7, float64 on disk), final = 0.95·(inv-euclid/max) +
+    0.05·(score/max) — every step has a DuckDB twin, so this entry is
+    value-hash checked (it was rows-only with hash vectors in r2)."""
+    from .expand import compute_doc_vectors, load_word_vectors, rerank_by_embedding
 
     eng = engine_for(sf_dir)
     idx = index_for(sf_dir)
-    if not os.path.exists(os.path.join(idx, "doc_vectors")):
-        compute_doc_vectors(idx)
+    path = os.path.join(idx, "vectors_real.txt")
+    marker = os.path.join(idx, "doc_vectors_real", "_DONE")
+    if not os.path.exists(marker):
+        import pyarrow.parquet as pq
+
+        vocab = sorted(eng.reader.vocabulary())
+        emb = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        ids = emb["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        with open(path, "w") as f:
+            for r, term in enumerate(vocab):
+                row = emb["embedding"][int(order[np.searchsorted(ids[order], r)])]
+                vals = np.asarray(row.as_py(), dtype=np.float32)
+                # shortest float32 round-trip text so the loader's
+                # float32 parse == the parquet values == SQL's CAST
+                f.write(term + " " + " ".join(
+                    np.format_float_positional(v, unique=True, trim="0")
+                    for v in vals) + "\n")
+        tv = load_word_vectors(path)
+        compute_doc_vectors(idx, vectors=tv, out_name="doc_vectors_real",
+                            store_float64=True)
+        with open(marker, "w") as f:
+            f.write("1")
+    tv = load_word_vectors(path)
     res = eng.search(SEARCH_QUERY_TEXT, k=20)
-    return _round_score(rerank_by_embedding(eng, res, SEARCH_QUERY_TEXT))
+    return _round_score(rerank_by_embedding(
+        eng, res, SEARCH_QUERY_TEXT, vectors=tv, vectors_dir="doc_vectors_real"
+    ))
 
 
 ROLE_BOOST = {"user": 1.5, "assistant": 1.0, "tool": 0.25}

@@ -193,15 +193,22 @@ class EmbeddingKNNExpansion:
         return out
 
 
-def compute_doc_vectors(index_dir: str, vectors=None, dim: int = 50) -> str:
+def compute_doc_vectors(index_dir: str, vectors=None, dim: int = 50,
+                        out_name: str = "doc_vectors",
+                        store_float64: bool = False) -> str:
     """I7 (``search_engine_best.py:129-141``): doc vector = Σ tf·vec(term)
-    / doc_len, streamed over the tokenized checkpoint."""
+    / doc_len, streamed over the tokenized checkpoint.
+
+    ``store_float64`` keeps full precision on disk — required when the
+    rerank must hash-match a DOUBLE-typed SQL oracle (float32 storage
+    perturbs distances by ~1e-7, enough to flip 1e-6 rank keys)."""
     import os
 
     import pyarrow as pa
     import ray.data as rd
 
     vectors = vectors or HashWordVectors(dim)
+    vec_type = pa.float64() if store_float64 else pa.float32()
 
     def batch_vec(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -216,14 +223,15 @@ def compute_doc_vectors(index_dir: str, vectors=None, dim: int = 50) -> str:
             vecs = vectors(flat_terms) * tfs[:, None]
             np.add.at(acc, parent, vecs)
         acc /= np.maximum(dls, 1.0)[:, None]
+        out = acc if store_float64 else acc.astype(np.float32)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "vec": pa.array(list(acc.astype(np.float32)), pa.list_(pa.float32())),
+                "vec": pa.array(list(out), pa.list_(vec_type)),
             }
         )
 
-    out_dir = os.path.join(index_dir, "doc_vectors")
+    out_dir = os.path.join(index_dir, out_name)
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -237,8 +245,11 @@ def compute_doc_vectors(index_dir: str, vectors=None, dim: int = 50) -> str:
 
 
 def rerank_by_embedding(engine, results, query: str, vectors=None,
-                        w_rank: float = 0.95, w_score: float = 0.05):
-    """Q12: final = 0.95·(inv-euclid rank / max) + 0.05·(score / max)."""
+                        w_rank: float = 0.95, w_score: float = 0.05,
+                        vectors_dir: str = "doc_vectors"):
+    """Q12: final = 0.95·(inv-euclid rank / max) + 0.05·(score / max).
+    Final order ranks on the shared floor(score·1e6 + 0.5) key (ties by
+    conv_id, turn_idx) so the DuckDB twin orders identically."""
     import os
 
     import pyarrow as pa
@@ -259,7 +270,7 @@ def rerank_by_embedding(engine, results, query: str, vectors=None,
     rid = doc_id_i64(conv, turn)
     # read ONLY the k result docs' vectors (predicate pushdown), not the
     # whole doc_vectors table
-    dv = pads.dataset(os.path.join(engine.reader.index_dir, "doc_vectors")).to_table(
+    dv = pads.dataset(os.path.join(engine.reader.index_dir, vectors_dir)).to_table(
         filter=pads.field("doc_id").isin(sorted(set(int(r) for r in rid)))
     )
     ids = dv["doc_id"].to_numpy()
@@ -281,7 +292,7 @@ def rerank_by_embedding(engine, results, query: str, vectors=None,
     smax = max(scores.max(), 1e-12)
     rmax = max(inv.max(), 1e-12)
     final = w_rank * (inv / rmax) + w_score * (scores / smax)
-    new_order = np.lexsort((turn, conv, -final))
+    new_order = np.lexsort((turn, conv, -np.floor(final * 1e6 + 0.5)))
     return pa.table(
         {
             "conv_id": pa.array(conv[new_order], pa.string()),
