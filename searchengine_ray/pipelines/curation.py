@@ -57,44 +57,63 @@ def decontaminate(sf_dir: str, eval_max_id: int = 10, n: int = 8):
 
     Scale shape: the eval side is SMALL by construction — it is read
     with a pushed-down doc_id predicate (only eval row groups leave
-    storage) and its exact gram-string set is broadcast once via
-    ``ray.put``; each batch does set-membership tests (exact strings,
-    not hashes — the driver gate is value-exact and a hash collision
-    would inflate n_hits) while the training corpus streams.  Nothing
+    storage) and broadcast once via ``ray.put`` as (sorted gram-hash
+    array, exact gram-string set).  Each training batch streams through
+    the vectorized rolling-hash path (``dedup._gram_hashes``: tokens
+    hashed once in C, window hashes combined with splitmix64 — no gram
+    string materialized) and pre-filters with a ``searchsorted`` against
+    the eval hashes; only the rare hash survivors get their gram STRING
+    built and confirmed exactly (the driver gate is value-exact and a
+    hash collision would inflate n_hits — string confirmation keeps the
+    oracle exact while the hash filter does ~all the work).  Nothing
     shuffles.  → (doc_id, n_hits) for contaminated docs only."""
+    import pyarrow.compute as pc
     import pyarrow.dataset as pads
     import ray
     import ray.data as rd
 
-    from .dedup import _simple_words
-
-    def grams_of(text: str) -> list[str]:
-        words = _simple_words(text)
-        return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    from .dedup import _flat_grams, _gram_hashes
 
     ev = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
         columns=["doc_id", "text"],
         filter=pads.field("doc_id") < eval_max_id,
     )
-    eval_grams: set[str] = set()
-    for t in ev["text"].to_pylist():
-        eval_grams.update(grams_of(t))
-    ref = ray.put(eval_grams)
+    ev_grams, _ = _flat_grams(ev["text"], n)
+    ev_hashes, _, _, _ = _gram_hashes(ev["text"], n)
+    ref = ray.put((np.sort(ev_hashes), set(pc.unique(ev_grams).to_pylist())))
 
     def flag(batch: pa.Table) -> pa.Table:
-        bench: set[str] = ray.get(ref)
-        out_doc, out_hits = [], []
-        for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if did < eval_max_id:
-                continue  # the eval set itself is not "contaminated"
-            hits = len({g for g in grams_of(text) if g in bench})
-            if hits:
-                out_doc.append(did)
-                out_hits.append(hits)
+        # the eval set itself is not "contaminated"
+        batch = batch.filter(pc.greater_equal(batch["doc_id"], eval_max_id))
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_hits": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        hashes, parents, flat, starts = _gram_hashes(batch["text"], n)
+        if not len(hashes):
+            return empty
+        ev_h, ev_strings = ray.get(ref)
+        pos = np.searchsorted(ev_h, hashes).clip(0, max(len(ev_h) - 1, 0))
+        hit = np.flatnonzero(ev_h[pos] == hashes) if len(ev_h) else np.empty(0, np.int64)
+        if not len(hit):
+            return empty
+        # string-confirm the survivors (tiny by construction) exactly,
+        # deduping (doc, gram) pairs as we confirm — only survivor
+        # tokens are ever boxed into Python strings
+        seen: set[tuple[int, str]] = set()
+        counts = np.zeros(batch.num_rows, np.int64)
+        for i in hit:
+            s = int(starts[int(i)])
+            gram = " ".join(flat.slice(s, n).to_pylist())
+            p = int(parents[int(i)])
+            if gram in ev_strings and (p, gram) not in seen:
+                seen.add((p, gram))
+                counts[p] += 1
+        docs = np.flatnonzero(counts)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "n_hits": pa.array(out_hits, pa.int64()),
+                "doc_id": pa.array(batch["doc_id"].to_numpy()[docs], pa.int64()),
+                "n_hits": pa.array(counts[docs], pa.int64()),
             }
         )
 

@@ -129,25 +129,134 @@ def _rows_for_ids(ds, ids, schema: pa.Schema) -> pa.Table:
 # word n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+def _flat_tokens(texts):
+    """Vectorized tokenize (lower, split [^a-z0-9]+, drop empties) of a
+    whole batch: → (flat token StringArray, parent row index ndarray)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy()
+    nonempty = pc.not_equal(flat, "")
+    mask = nonempty.to_numpy(zero_copy_only=False)
+    return flat.filter(nonempty), parent[mask]
+
+
+def _window_starts(parent: np.ndarray, n: int) -> np.ndarray:
+    """Flat indices where an ``n``-token window starts AND stays inside
+    one doc (grams never cross doc boundaries)."""
+    L = len(parent)
+    if L < n:
+        return np.empty(0, np.int64)
+    return np.flatnonzero(parent[: L - n + 1] == parent[n - 1 :])
+
+
+def _flat_grams(texts, n: int):
+    """All word-``n``-grams of every text, vectorized end to end (no
+    per-row Python): regex split → flatten with parent indices → window
+    starts that stay inside one doc → ``binary_join_element_wise`` over
+    the n shifted token columns.
+
+    → (grams StringArray, parents int64 ndarray) where ``parents[i]``
+    is the row index of gram i's text.  Exact strings (not hashes) —
+    the Jaccard/decontamination oracles are value-exact."""
+    flat, parent = _flat_tokens(texts)
+    starts = _window_starts(parent, n)
+    if not len(starts):
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    cols = [flat.take(pa.array(starts + j, pa.int64())) for j in range(n)]
+    grams = pc.binary_join_element_wise(*cols, " ")
+    return grams, parent[starts].astype(np.int64)
+
+
+_POLY_B = np.uint64(0x100000001B3)  # FNV prime (odd → invertible mod 2^64)
+
+
+def _token_hashes_bytes(flat: pa.Array) -> np.ndarray:
+    """u64 hash per token computed straight from the Arrow buffers —
+    never boxes a Python string (boxing + object-array siphash measured
+    ~3× the cost of this whole path).  Hash = splitmix64(Σ byte·B^pos)
+    over each token's utf8 bytes: one power-gather, one multiply and one
+    ``np.add.reduceat`` over the concatenated byte stream."""
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    m = len(flat)
+    if m == 0:
+        return np.empty(0, np.uint64)
+    off0 = flat.offset
+    offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)[off0 : off0 + m + 1].astype(np.int64)
+    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]].astype(np.uint64)
+    starts = offs[:-1] - offs[0]
+    lens = np.diff(offs)
+    pos = np.arange(len(data), dtype=np.int64) - np.repeat(starts, lens)
+    maxlen = int(lens.max()) if len(lens) else 1
+    bpow = np.empty(maxlen, np.uint64)
+    with np.errstate(over="ignore"):
+        bpow[0] = 1
+        for j in range(1, maxlen):
+            bpow[j] = bpow[j - 1] * _POLY_B
+        contrib = data * bpow[pos]
+        # empty tokens impossible (filtered), so every reduceat segment
+        # is non-empty and starts is strictly increasing
+        sums = np.add.reduceat(contrib, starts) if len(data) else np.zeros(m, np.uint64)
+    return splitmix64(sums)
+
+
+def _gram_hashes(texts, n: int):
+    """u64 rolling hashes of every word-``n``-gram — the membership
+    PRE-FILTER path: token bytes are hashed once (vectorized, zero-copy
+    from Arrow buffers) and the n window hashes combine polynomially, so
+    no gram string is ever materialized for the ~100% of windows that
+    won't match anything.
+
+    → (hash u64 ndarray, parents ndarray, flat token array, starts) —
+    the last two let the caller string-confirm hash survivors exactly."""
+    flat, parent = _flat_tokens(texts)
+    starts = _window_starts(parent, n)
+    if not len(starts):
+        return (np.empty(0, np.uint64), np.empty(0, np.int64), flat, starts)
+    th = _token_hashes_bytes(flat)
+    with np.errstate(over="ignore"):
+        acc = th[starts].copy()
+        for j in range(1, n):
+            acc *= _POLY_B
+            acc += th[starts + j]
+    return acc, parent[starts].astype(np.int64), flat, starts
+
+
+def _distinct_rows(parents: np.ndarray, grams: pa.Array) -> np.ndarray:
+    """Indices of the first occurrence of each distinct (doc, gram) pair,
+    grouped contiguously by doc.  Distinctness is exact (hash-table
+    dictionary encode → int codes → int lexsort; never a string sort)."""
+    if not len(parents):
+        return np.empty(0, np.int64)
+    codes = pc.dictionary_encode(grams)
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    codes = codes.indices.to_numpy()
+    order = np.lexsort((codes, parents))
+    p, c = parents[order], codes[order]
+    first = np.r_[True, (p[1:] != p[:-1]) | (c[1:] != c[:-1])]
+    return order[first]
+
+
 def _ngrams_batch(batch: pa.Table, n: int = 3) -> pa.Table:
     """Distinct word-3-grams per doc (tokens: lower, split [^a-z0-9]+, len≥1).
 
     Each row carries the doc's TOTAL distinct-ngram count (``nset``) so
     the Jaccard denominator travels with the pair stream instead of
     living in a driver-side dict."""
-    toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), "[^a-z0-9]+")
-    out_doc, out_ng, out_n = [], [], []
-    for doc_id, words in zip(batch["doc_id"].to_pylist(), toks.to_pylist()):
-        words = [w for w in words if w]
-        grams = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
-        out_doc.extend([doc_id] * len(grams))
-        out_n.extend([len(grams)] * len(grams))
-        out_ng.extend(sorted(grams))
+    grams, parents = _flat_grams(batch["text"], n)
+    keep = _distinct_rows(parents, grams)
+    grams_d = grams.take(pa.array(keep, pa.int64()))
+    par_d = parents[keep]
+    nset = np.bincount(par_d, minlength=batch.num_rows)
+    doc_ids = batch["doc_id"].to_numpy()
     return pa.table(
         {
-            "doc_id": pa.array(out_doc, pa.int64()),
-            "nset": pa.array(out_n, pa.int64()),
-            "ngram": pa.array(out_ng, pa.string()),
+            "doc_id": pa.array(doc_ids[par_d], pa.int64()),
+            "nset": pa.array(nset[par_d], pa.int64()),
+            "ngram": grams_d,
         }
     )
 
@@ -216,24 +325,36 @@ class MinHashStage:
         self.shingle = shingle
 
     def signatures(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
-        """→ (sig matrix [n_docs, n_hashes] u64, n_shingles per doc)."""
-        all_sh, bounds = [], [0]
-        for t in texts:
-            words = [w for w in _simple_words(t)]
-            sh = {" ".join(words[i : i + self.shingle]) for i in range(len(words) - self.shingle + 1)} or {t}
-            all_sh.extend(sh)
-            bounds.append(len(all_sh))
-        h = hash_str_u64(all_sh)
+        """→ (sig matrix [n_docs, n_hashes] u64, n_shingles per doc).
+
+        Shingle construction is the shared vectorized gram path
+        (``_flat_grams`` + ``_distinct_rows``); docs with no shingle
+        window fall back to one shingle = the whole text (as before)."""
         n_docs = len(texts)
+        arr = pa.array(texts, pa.string())
+        grams, parents = _flat_grams(arr, self.shingle)
+        keep = _distinct_rows(parents, grams)
+        par_d = parents[keep]  # contiguous by doc (lexsort major key)
+        counts = np.bincount(par_d, minlength=n_docs)
+        gram_list = grams.take(pa.array(keep, pa.int64())).to_pylist()
+        none = np.flatnonzero(counts == 0)
+        if len(none):
+            # splice whole-text fallbacks into doc order
+            ins = np.searchsorted(par_d, none)
+            par_d = np.insert(par_d, ins, none)
+            for off, i in enumerate(ins):
+                gram_list.insert(int(i) + off, texts[int(none[off])])
+            counts[none] = 1
+        h = hash_str_u64(gram_list)
         sig = np.full((n_docs, self.n_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
         with np.errstate(over="ignore"):
             perm = splitmix64(h[:, None] * self.a[None, :] + self.b[None, :])
-        starts = np.array(bounds[:-1])
-        nonempty = np.flatnonzero(np.diff(bounds) > 0)
+        bounds = np.r_[0, np.cumsum(counts)]
+        nonempty = np.flatnonzero(counts > 0)
         if len(nonempty):
-            red = np.minimum.reduceat(perm, starts[nonempty], axis=0)
+            red = np.minimum.reduceat(perm, bounds[:-1][nonempty], axis=0)
             sig[nonempty] = red
-        return sig, np.diff(bounds)
+        return sig, counts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sig, n_sh = self.signatures(batch["text"].to_pylist())
