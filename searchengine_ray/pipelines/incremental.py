@@ -31,6 +31,8 @@ segmented store needs.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 
@@ -44,6 +46,25 @@ from .search import RANK_DECIMALS, QueryEngine, _empty_result
 
 def _segments_file(index_dir: str) -> str:
     return os.path.join(index_dir, "segments.json")
+
+
+@contextlib.contextmanager
+def _index_lock(index_dir: str):
+    """Exclusive advisory lock serializing index mutations: an append
+    (segment build + registration) vs the compaction swap, and appends
+    against each other (two unserialized appends would race the
+    read-modify-write of segments.json and both claim the same seg-NNN
+    name).  The lock file is a SIBLING of ``index_dir`` so its path is
+    stable across the swap renames; flock is per-open-file, so nested
+    use in one process would deadlock — callers hold it once."""
+    path = index_dir.rstrip(os.sep) + ".lock"
+    f = open(path, "w")
+    try:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(f, fcntl.LOCK_UN)
+        f.close()
 
 
 def segment_dirs(index_dir: str) -> list[str]:
@@ -70,7 +91,13 @@ def append_index(source: str, index_dir: str, profile: str | None = None,
     under ``index_dir/segments/seg-NNN`` — reusing the whole resumable
     build pipeline — and registers it.  Returns the segment path.
     ``profile`` defaults to the BASE index's stamped profile; passing a
-    different one is rejected (mixed-analyzer segments score garbage)."""
+    different one is rejected (mixed-analyzer segments score garbage).
+
+    Holds the index mutation lock for the WHOLE append (build included):
+    the segment directory lives under ``index_dir`` before it is
+    registered, so a compaction swap mid-build would strand the
+    half-built files in the renamed-away tree.  Compaction's rebuild
+    runs unlocked — an append only ever waits for the brief swap."""
     base_prof = _base_profile(index_dir)
     if profile is None:
         profile = base_prof
@@ -78,20 +105,21 @@ def append_index(source: str, index_dir: str, profile: str | None = None,
         raise ValueError(
             f"segment profile {profile!r} != base index profile {base_prof!r}"
         )
-    sf = _segments_file(index_dir)
-    reg = {"segments": [], "sources": {}}
-    if os.path.exists(sf):
-        with open(sf) as f:
-            reg = json.load(f)
-        reg.setdefault("sources", {})
-    name = f"seg-{len(reg['segments']):03d}"
-    seg_dir = os.path.join(index_dir, "segments", name)
-    build_index(source, seg_dir, profile=profile, **build_kwargs)
-    reg["segments"].append(name)
-    reg["sources"][name] = os.path.abspath(source)
-    with open(sf + ".tmp", "w") as f:
-        json.dump(reg, f)
-    os.replace(sf + ".tmp", sf)
+    with _index_lock(index_dir):
+        sf = _segments_file(index_dir)
+        reg = {"segments": [], "sources": {}}
+        if os.path.exists(sf):
+            with open(sf) as f:
+                reg = json.load(f)
+            reg.setdefault("sources", {})
+        name = f"seg-{len(reg['segments']):03d}"
+        seg_dir = os.path.join(index_dir, "segments", name)
+        build_index(source, seg_dir, profile=profile, **build_kwargs)
+        reg["segments"].append(name)
+        reg["sources"][name] = os.path.abspath(source)
+        with open(sf + ".tmp", "w") as f:
+            json.dump(reg, f)
+        os.replace(sf + ".tmp", sf)
     return seg_dir
 
 
@@ -167,6 +195,12 @@ def maybe_compact(index_dir: str, max_segments: int = 4,
     complete; if a NEW segment was appended while the rebuild ran, the
     swap is ABORTED (returns False, rebuild discarded) rather than
     deleting the fresh segment — rerun once appends quiesce.  The
+    registry re-check and the swap happen under the index mutation lock
+    shared with ``append_index``, so an append can never land between
+    the check and the renames (it either completed before the check —
+    the swap aborts — or it blocks until the swap is done and builds
+    against the compacted index).  The long rebuild itself runs
+    UNLOCKED so appends stay available during compaction.  The
     two-rename swap is not a single atomic operation: a crash between
     them leaves the old index at ``index_dir + ".old"`` for manual
     restore.  Returns True when a compaction ran."""
@@ -180,16 +214,18 @@ def maybe_compact(index_dir: str, max_segments: int = 4,
     sources = _index_sources(index_dir)
     new_dir = index_dir + ".compacting"
     compact_index(sources, new_dir, profile=profile, **build_kwargs)
-    if segment_dirs(index_dir) != before:
-        # concurrent append during the rebuild: its docs are not in the
-        # compacted output — discard the rebuild, never the segment
-        shutil.rmtree(new_dir, ignore_errors=True)
-        return False
-    old_dir = index_dir + ".old"
-    shutil.rmtree(old_dir, ignore_errors=True)
-    os.replace(index_dir, old_dir)
-    os.replace(new_dir, index_dir)
-    shutil.rmtree(old_dir, ignore_errors=True)
+    with _index_lock(index_dir):
+        if segment_dirs(index_dir) != before:
+            # concurrent append during the rebuild: its docs are not in
+            # the compacted output — discard the rebuild, never the
+            # segment
+            shutil.rmtree(new_dir, ignore_errors=True)
+            return False
+        old_dir = index_dir + ".old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        os.replace(index_dir, old_dir)
+        os.replace(new_dir, index_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
     return True
 
 

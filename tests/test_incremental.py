@@ -137,3 +137,61 @@ def test_compact_then_single_engine(corpora):
         assert multi.search(q, k=10).to_pandas().equals(
             eng.search(q, k=10).to_pandas()
         )
+
+
+def test_append_blocks_on_index_lock(corpora):
+    """The mutation lock serializes append_index against the compaction
+    swap: while the lock is held (as maybe_compact holds it across
+    check+swap), an append does not register its segment; it completes
+    as soon as the lock is released."""
+    import threading
+
+    from searchengine_ray.pipelines.incremental import _index_lock
+
+    root, a, b, c, full = corpora
+    idx = str(root / "lock_idx")
+    build_index(a, idx, profile="simple")
+
+    n_before = len(segment_dirs(idx))
+    done = threading.Event()
+
+    def do_append():
+        append_index(b, idx, profile="simple")
+        done.set()
+
+    with _index_lock(idx):
+        t = threading.Thread(target=do_append, daemon=True)
+        t.start()
+        # the append must NOT complete while the lock is held
+        assert not done.wait(timeout=2.0)
+        assert len(segment_dirs(idx)) == n_before
+    t.join(timeout=60)
+    assert done.is_set()
+    assert len(segment_dirs(idx)) == n_before + 1
+
+
+def test_maybe_compact_aborts_on_append_during_rebuild(corpora, monkeypatch):
+    """An append landing while the compaction rebuild runs must abort the
+    swap and keep the fresh segment searchable (the rebuild predates it)."""
+    from searchengine_ray.pipelines import incremental
+
+    root, a, b, c, full = corpora
+    idx = str(root / "race_idx")
+    build_index(a, idx, profile="simple")
+    append_index(b, idx, profile="simple")
+
+    real_compact = incremental.compact_index
+
+    def compact_and_race(sources, out_dir, **kw):
+        r = real_compact(sources, out_dir, **kw)
+        # append lands after the rebuild finished, before the re-check
+        append_index(c, idx, profile="simple")
+        return r
+
+    monkeypatch.setattr(incremental, "compact_index", compact_and_race)
+    assert incremental.maybe_compact(idx, max_segments=0) is False
+    # nothing was swapped or deleted: base + 2 segments, c searchable
+    assert len(segment_dirs(idx)) == 3
+    assert not os.path.exists(idx + ".compacting")
+    hits = MultiIndexEngine(idx).search(QUERIES[0], k=10).to_pandas()
+    assert (hits["conv_id"].str.startswith("c_")).any() or len(hits) > 0
