@@ -14,10 +14,13 @@ segment dictionaries and injects them into every segment's reader
 same constants a full rebuild would use — a doc lives in exactly one
 segment, its per-term contributions are identical floats, and the
 merged ranking is therefore equal to the full rebuild's (asserted by
-``tests/test_incremental.py``).  The dictionary merge is
-vocabulary-sized driver work here; at extreme vocab it becomes a
-distributed groupby over the segment dictionaries with the merged map
-broadcast to the serving actors.
+``tests/test_incremental.py``).  The dictionary merge
+(``merge_segment_dictionaries``) is a vectorized pyarrow group_by on
+the driver up to a row cap and a distributed Ray Data groupby over the
+dictionary parquet shards beyond it; the serving pool computes the
+merged stats ONCE and broadcasts them to its actors via the object
+store (``global_stats`` + ``serve.SearchService``) instead of every
+actor re-merging.
 
 Caveat (documented, inherent to segments): profiles whose dictionary
 folding is corpus-global (the reference P15 entity rule, I2 case
@@ -229,11 +232,78 @@ def maybe_compact(index_dir: str, max_segments: int = 4,
     return True
 
 
+def merge_segment_dictionaries(dirs: list[str],
+                               driver_cap: int | None = None) -> pa.Table:
+    """Merged ``(term, df)`` over the segment dictionaries, term-sorted.
+
+    Up to ``driver_cap`` total dictionary rows (default
+    ``$GRAFT_DICT_MERGE_DRIVER_CAP`` or 2M) the merge is one vectorized
+    pyarrow ``group_by`` on the driver — no per-term Python loop.
+    Beyond the cap (extreme vocabularies × many segments) it runs as a
+    Ray Data groupby over the dictionary parquet shards, so no single
+    process k-way-merges the raw rows.  The RESULT is vocabulary-sized
+    either way: every reader holds the merged map by design, and the
+    serving pool broadcasts it once instead of recomputing per actor."""
+    import os as _os
+
+    import pyarrow.dataset as pads
+
+    if driver_cap is None:
+        driver_cap = int(_os.environ.get("GRAFT_DICT_MERGE_DRIVER_CAP", "2000000"))
+    sets = [pads.dataset(_os.path.join(d, "dictionary")) for d in dirs]
+    total = sum(s.count_rows() for s in sets)
+    if total <= driver_cap:
+        tbl = pa.concat_tables([s.to_table(columns=["term", "df"]) for s in sets])
+        out = tbl.group_by("term").aggregate([("df", "sum")])
+        out = out.rename_columns(["term", "df"])
+    else:
+        import ray
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        files = [
+            _os.path.join(d, "dictionary", f)
+            for d in dirs
+            for f in sorted(_os.listdir(_os.path.join(d, "dictionary")))
+            if f.endswith(".parquet")
+        ]
+        ds = rd.read_parquet(files, columns=["term", "df"])
+        agg = ds.groupby("term").aggregate(Sum("df", alias_name="df"))
+        blocks = ray.get(agg.to_arrow_refs())
+        out = pa.concat_tables(b for b in blocks if b.num_rows).select(["term", "df"])
+    return out.sort_by("term")
+
+
+def global_stats(index_dir: str, driver_cap: int | None = None) -> dict:
+    """Corpus-global stats of a segmented index: doc count, total/avg
+    doc length from the per-segment metas, merged per-term df table.
+    Small enough to ``ray.put`` once and share across serving actors."""
+    dirs = segment_dirs(index_dir)
+    n_docs = 0
+    total_len = 0
+    for d in dirs:
+        with open(os.path.join(d, "index_meta.json")) as f:
+            m = json.load(f)
+        n_docs += m["n_docs"]
+        total_len += m["total_len"]
+    return {
+        "n_docs": n_docs,
+        "total_len": total_len,
+        "df_table": merge_segment_dictionaries(dirs, driver_cap=driver_cap),
+    }
+
+
 class MultiIndexEngine:
     """Search across a base index and its delta segments with globally
-    correct corpus statistics."""
+    correct corpus statistics.
 
-    def __init__(self, index_dir: str, profile=None):
+    ``stats``: precomputed ``global_stats()`` output (e.g. broadcast
+    through the object store by the serving pool) — skips the per-engine
+    dictionary merge.  ``dict_driver_cap`` forwards to
+    ``merge_segment_dictionaries`` when stats are computed here."""
+
+    def __init__(self, index_dir: str, profile=None, stats: dict | None = None,
+                 dict_driver_cap: int | None = None):
         self.engines = [QueryEngine(d, profile=profile) for d in segment_dirs(index_dir)]
         profiles = {e.reader.meta["profile"] for e in self.engines}
         if len(profiles) > 1:
@@ -242,12 +312,14 @@ class MultiIndexEngine:
                 "their vocabularies are incompatible — recompact"
             )
         # ---- global stats ------------------------------------------------
-        n_docs = sum(e.reader.meta["n_docs"] for e in self.engines)
-        total_len = sum(e.reader.meta["total_len"] for e in self.engines)
-        df: dict[str, int] = {}
-        for e in self.engines:
-            for t, (d, _cf, _sh) in e.reader._dict.items():
-                df[t] = df.get(t, 0) + d
+        if stats is None:
+            stats = global_stats(index_dir, driver_cap=dict_driver_cap)
+        n_docs = stats["n_docs"]
+        total_len = stats["total_len"]
+        df_tbl = stats["df_table"]
+        df: dict[str, int] = dict(
+            zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist())
+        )
         avgdl = total_len / n_docs if n_docs else 0.0
         for e in self.engines:
             e.reader.n_docs = n_docs

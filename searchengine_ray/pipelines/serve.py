@@ -1,19 +1,25 @@
 """Distributed query serving: a pool of QueryEngine actors.
 
 The reference serves queries from a single in-process engine
-(``Part C/search_frontend.py`` runs one Flask process over one loaded
-index).  At cluster scale, query serving is a pool of long-lived actors,
-each holding the warm per-term caches of an ``IndexReader`` — the
-natural Ray expression of a stateful serving tier:
+(``Part C/GUI.py`` runs one GUI process over one loaded index).  At
+cluster scale, query serving is a pool of long-lived actors, each
+holding the warm per-term caches of an ``IndexReader`` — the natural
+Ray expression of a stateful serving tier:
 
 - ``SearchWorker``: one actor = one ``QueryEngine`` (postings LRU,
   term-static score LRU, docmap row-group LRU all live actor-side).
+  For a segmented index, the merged corpus-global stats are computed
+  ONCE on the driver and broadcast to every worker through the object
+  store — actors share one merge instead of each re-merging.
 - ``SearchService``: the driver-side handle.  Routes each query to a
-  worker by **term affinity** — hash of the query's sorted resolved
-  terms — so a hot term's postings are decoded and cached on ONE worker
-  instead of every worker re-decoding them (round-robin available for
-  uniform load).  ``search_many`` pipelines a whole batch of queries and
-  gathers results in submission order.
+  worker by **term affinity** — hash of the query's sorted lowercased
+  raw tokens, an APPROXIMATION of the resolved term set (case/stem
+  variants of one resolved set can land on different workers; exact
+  routing would need a driver-side resolver) — so a hot term's postings
+  are usually decoded and cached on ONE worker instead of every worker
+  re-decoding them (round-robin available for uniform load).
+  ``search_many`` pipelines a whole batch of queries and gathers
+  results in submission order.
 
 On a multi-node cluster the same class works unchanged: actors spread
 across nodes (``scheduling_strategy="SPREAD"``), each reading the
@@ -33,17 +39,19 @@ class SearchWorker:
     """One serving actor: engine construction (dictionary load, cache
     allocation) happens once here, queries reuse the warm state."""
 
-    def __init__(self, index_dir: str, profile=None, preload: bool = False):
+    def __init__(self, index_dir: str, profile=None, preload: bool = False,
+                 stats=None):
         import os
 
         from .search import QueryEngine
 
         if os.path.exists(os.path.join(index_dir, "segments.json")):
             # appended index: serve across base + delta segments with
-            # globally-correct stats, no compaction required
+            # globally-correct stats (broadcast by the pool driver when
+            # given), no compaction required
             from .incremental import MultiIndexEngine
 
-            self.engine = MultiIndexEngine(index_dir, profile=profile)
+            self.engine = MultiIndexEngine(index_dir, profile=profile, stats=stats)
             self._readers = [e.reader for e in self.engine.engines]
         else:
             self.engine = QueryEngine(index_dir, profile=profile)
@@ -84,11 +92,20 @@ class SearchService:
 
     def __init__(self, index_dir: str, n_workers: int = 4, profile=None,
                  routing: str = "terms", preload: bool = False):
+        import os
+
         if routing not in ("terms", "rr"):
             raise ValueError(f"unknown routing {routing!r}")
+        stats_ref = None
+        if os.path.exists(os.path.join(index_dir, "segments.json")):
+            # merge the segment dictionaries ONCE; workers read the
+            # broadcast copy from the object store (zero-copy per node)
+            from .incremental import global_stats
+
+            stats_ref = ray.put(global_stats(index_dir))
         self.workers = [
             SearchWorker.options(scheduling_strategy="SPREAD").remote(
-                index_dir, profile, preload
+                index_dir, profile, preload, stats_ref
             )
             for _ in range(n_workers)
         ]

@@ -195,3 +195,32 @@ def test_maybe_compact_aborts_on_append_during_rebuild(corpora, monkeypatch):
     assert not os.path.exists(idx + ".compacting")
     hits = MultiIndexEngine(idx).search(QUERIES[0], k=10).to_pandas()
     assert (hits["conv_id"].str.startswith("c_")).any() or len(hits) > 0
+
+
+def test_distributed_dictionary_merge_matches_driver(corpora):
+    """merge_segment_dictionaries: the Ray Data groupby path (forced via
+    driver_cap=0, i.e. 'vocabulary larger than the driver cap') returns
+    the same merged (term, df) table as the driver pyarrow path, and a
+    MultiIndexEngine built over it ranks bit-exactly like one built with
+    the driver merge."""
+    from searchengine_ray.pipelines.incremental import (
+        global_stats,
+        merge_segment_dictionaries,
+    )
+
+    root, a, b, c, full = corpora
+    idx = str(root / "dist_idx")
+    build_index(a, idx, profile="simple")
+    append_index(b, idx, profile="simple")
+    dirs = segment_dirs(idx)
+
+    driver = merge_segment_dictionaries(dirs, driver_cap=10**9)
+    distributed = merge_segment_dictionaries(dirs, driver_cap=0)
+    assert driver.equals(distributed)
+
+    ref = MultiIndexEngine(idx)
+    via_ray = MultiIndexEngine(idx, stats=global_stats(idx, driver_cap=0))
+    for q in QUERIES:
+        assert ref.search(q, k=12).to_pandas().equals(
+            via_ray.search(q, k=12).to_pandas()
+        ), q
