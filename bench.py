@@ -32,6 +32,14 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REP = int(os.environ.get("GRAFT_BENCH_REP", "20"))
 N_FILES = int(os.environ.get("GRAFT_BENCH_FILES", "32"))
 PROFILE = os.environ.get("GRAFT_BENCH_PROFILE", "simple")
+# "docs" (default): transcripts derived from the documents table — a
+# 29-term vocabulary where every term is a head term (WAND cannot prune
+# by construction; see BASELINE.md).  "zipf": synthetic Zipf-vocabulary
+# corpus — the realistic regime, where rare+head queries let block-max
+# pruning close early and cold latency reflects selective terms.
+VOCAB = os.environ.get("GRAFT_BENCH_VOCAB", "docs")
+ZIPF_TURNS = int(os.environ.get("GRAFT_ZIPF_TURNS", "100000"))
+ZIPF_VOCAB = int(os.environ.get("GRAFT_ZIPF_VOCAB", "30000"))
 
 QUERY_WORDS = (
     "spark join fast table window merge batch stream dup vector sort key "
@@ -71,11 +79,64 @@ def settle(max_load: float | None = None, max_wait: float | None = None) -> floa
 
 
 def bench_queries():
+    if VOCAB == "zipf":
+        return zipf_queries()
     qs = []
     for i in range(30):
         w = [QUERY_WORDS[(i * 7 + j * 3) % len(QUERY_WORDS)] for j in range(2 + i % 4)]
         qs.append(" ".join(dict.fromkeys(w)))
     return qs
+
+
+def zipf_queries():
+    """30 rare+head queries over the synthetic Zipf vocabulary: one
+    selective term (rank ~2000+, df in the tens) plus 1-2 head terms —
+    the workload shape where WAND's block-max pruning pays."""
+    qs = []
+    for i in range(30):
+        rare = f"w{2000 + i * 37:05d}"
+        heads = [f"w{i % 20:05d}", f"w{(3 + i * 3) % 50:05d}"]
+        qs.append(" ".join(dict.fromkeys([rare] + heads[: 1 + i % 2])))
+    return qs
+
+
+def prepare_zipf_corpus() -> str:
+    """Synthetic transcript corpus with a Zipf(1.2) vocabulary
+    (deterministic, cached).  30 tokens per turn; term w00000 is the
+    most frequent, rank follows the suffix."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = f"/tmp/se_ray_bench_zipf_{ZIPF_TURNS}_{ZIPF_VOCAB}_f{N_FILES}"
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(1234)
+    probs = 1.0 / np.arange(1, ZIPF_VOCAB + 1) ** 1.2
+    probs /= probs.sum()
+    toks = rng.choice(ZIPF_VOCAB, size=ZIPF_TURNS * 30, p=probs)
+    vocab = np.array([f"w{i:05d}" for i in range(ZIPF_VOCAB)])
+    texts = np.array([" ".join(r) for r in vocab[toks].reshape(ZIPF_TURNS, 30)])
+    conv = np.array([f"c{i % 9973:05d}" for i in range(ZIPF_TURNS)])
+    tidx = (np.arange(ZIPF_TURNS) // 9973).astype(np.int32)
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(tidx, pa.int32()),
+            "role": pa.array(np.where(np.arange(ZIPF_TURNS) % 2 == 0, "user", "agent")),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array([""] * ZIPF_TURNS, pa.string()),
+            "ts": pa.array(np.zeros(ZIPF_TURNS, np.int64), pa.timestamp("us")),
+        }
+    )
+    per = (ZIPF_TURNS + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        pq.write_table(tbl.slice(i * per, per), os.path.join(out, f"part-{i:05d}.parquet"))
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write(str(ZIPF_TURNS))
+    return out
 
 
 def prepare_corpus() -> str:
@@ -86,6 +147,8 @@ def prepare_corpus() -> str:
 
     from searchengine_ray.sources.transcripts import derive_transcripts_batch
 
+    if VOCAB == "zipf":
+        return prepare_zipf_corpus()
     tag = os.path.normpath(SF_DIR).replace("/", "_").strip("_")
     out = f"/tmp/se_ray_bench_corpus_{tag}_r{REP}_f{N_FILES}"
     if os.path.exists(os.path.join(out, "_DONE")):
@@ -136,7 +199,7 @@ def run_once() -> dict:
             with open(os.path.join(corpus, p), "rb") as fh:
                 fh.read()
 
-    idx = f"/tmp/se_ray_bench_index_{NUM_CPUS}"
+    idx = f"/tmp/se_ray_bench_index_{VOCAB}_{NUM_CPUS}"
     shutil.rmtree(idx, ignore_errors=True)
     t0 = time.perf_counter()
     stats = build_index(corpus, idx, profile=PROFILE, concurrency=NUM_CPUS)
@@ -192,7 +255,8 @@ def run_once() -> dict:
     shutil.rmtree(idx, ignore_errors=True)
     headline = build_sec + query_sec
     return {
-        "metric": "index-build + 30-query BM25 batch wall time",
+        "metric": "index-build + 30-query BM25 batch wall time"
+        + (" (zipf vocabulary)" if VOCAB == "zipf" else ""),
         "value": round(headline, 3),
         "unit": "sec",
         "queries": {
@@ -278,6 +342,27 @@ def run_best_of() -> None:
         results.append(json.loads(out.strip().splitlines()[-1]))
     best = min(results, key=lambda r: r["value"])
     best["queries"]["run_values"] = [r["value"] for r in results]
+    if VOCAB == "docs" and not os.environ.get("GRAFT_BENCH_SKIP_ZIPF"):
+        # one extra run on the Zipf-vocabulary corpus: the docs-derived
+        # corpus has 29 terms, all head terms — its p95s cannot show
+        # WAND pruning or selective-term cold cost.  The zipf line is
+        # where wand < exact is expected and asserted (BASELINE.md).
+        settle()
+        env = dict(os.environ, GRAFT_BENCH_SINGLE="1", GRAFT_BENCH_VOCAB="zipf")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        z = json.loads(out.strip().splitlines()[-1])
+        best["queries"]["zipf"] = {
+            k: z["queries"][k]
+            for k in (
+                "build", "build_turns_per_sec", "query_p95_cold_ms",
+                "query_p95_ms", "query_p95_wand_ms", "pool_qps",
+                "n_terms", "n_postings",
+            )
+        }
     print(json.dumps(best))
 
 

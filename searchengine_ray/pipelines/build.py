@@ -365,8 +365,14 @@ def build_index(
 
         # global case/entity resolution — metadata-only columns, fully
         # distributed (per-batch combiner → fold_key groupby); no
-        # vocabulary-sized structure ever touches the driver
+        # vocabulary-sized structure ever touches the driver.  Profiles
+        # with neither case folding nor the entity rule (simple family)
+        # resolve every surface to itself — the whole job is an identity
+        # map, so it is SKIPPED (at a realistic vocabulary the fold_key
+        # groupby is the only remaining all-to-all; not running it is
+        # worth seconds per 100k turns)
         case_folding = prof.case_folding
+        needs_resolution = prof.case_folding or prof.entity_rule
 
         def resolve_group(g: pa.Table) -> pa.Table:
             return resolve_fold_group(g, case_folding=case_folding)
@@ -377,48 +383,47 @@ def build_index(
         # range so the merge tasks can read exactly their slice
         markers_dir = os.path.join(index_dir, "res_markers")
         shutil.rmtree(markers_dir, ignore_errors=True)
-        if glob.glob(os.path.join(index_dir, "runs_meta", "*.parquet")):
-            # partitioned path: per-pid partials were written by the
-            # tokenize tasks while the runs were hot
-            partials = rd.read_parquet(os.path.join(index_dir, "runs_meta"))
-        else:
-            # streaming path: derive partials from the flat run files
-            partials = rd.read_parquet(
-                runs_dir,
-                columns=["fold_key", "surface", "is_cap", "is_entity", "df",
-                         "doc_min", "range"],
-                override_num_blocks=n_blocks,
-            ).map_batches(surface_partial_agg, batch_format="pyarrow")
-        (
-            partials.groupby("fold_key")
-            .map_groups(resolve_group, batch_format="pyarrow")
-            .map_batches(markers_to_cogroup, batch_format="pyarrow")
-            .map_batches(lambda t: t.drop_columns(["run"]), batch_format="pyarrow")
-            .write_parquet(markers_dir, partition_cols=["range"])
-        )
+        if needs_resolution:
+            if glob.glob(os.path.join(index_dir, "runs_meta", "*.parquet")):
+                # partitioned path: per-pid partials were written by the
+                # tokenize tasks while the runs were hot
+                partials = rd.read_parquet(os.path.join(index_dir, "runs_meta"))
+            else:
+                # streaming path: derive partials from the flat run files
+                partials = rd.read_parquet(
+                    runs_dir,
+                    columns=["fold_key", "surface", "is_cap", "is_entity", "df",
+                             "doc_min", "range"],
+                    override_num_blocks=n_blocks,
+                ).map_batches(surface_partial_agg, batch_format="pyarrow")
+            (
+                partials.groupby("fold_key")
+                .map_groups(resolve_group, batch_format="pyarrow")
+                .map_batches(markers_to_cogroup, batch_format="pyarrow")
+                .map_batches(lambda t: t.drop_columns(["run"]), batch_format="pyarrow")
+                .write_parquet(markers_dir, partition_cols=["range"])
+            )
 
         # job 2 — the merge itself, SHUFFLE-FREE: runs are already
         # hash-partitioned by range at the tokenize source, so one task
-        # per range reads its runs + markers directly and co-groups by
-        # fold_key in memory (bounded by range size — the n_ranges knob).
-        # The payload never moves through a groupby.
-        merger = MergeFoldRangeGroup(
-            n_shards=n_shards, chunk_docs=chunk_docs,
-            rangemap_dir=rangemap_dir, range_offsets=range_offsets,
-        )
-
+        # per range reads its runs + markers directly and merges the
+        # whole range in one vectorized pass (decode-all → (term, doc)
+        # lexsort → reduceat → segmented encode; memory bounded by range
+        # size — the n_ranges knob).  The payload never moves through a
+        # groupby, and there is no per-term Python.
         def merge_range_task(batch: pa.Table) -> pa.Table:
             import pyarrow.dataset as pads
 
-            from ..stages.postings import COGROUP_SCHEMA
+            from ..functions.codec import varbyte_decode
+            from ..stages.postings import CHUNKS_SCHEMA, merge_range_table
 
             outs = []
             for rng in batch["range"].to_pylist():
                 rfiles = glob.glob(os.path.join(runs_dir, f"r{rng:04d}", "*.parquet"))
+                rcols = ["surface", "df", "run"]
                 if rfiles:
                     runs_tbl = pa.concat_tables(
-                        [pq.read_table(f, columns=["fold_key", "surface", "run"])
-                         for f in rfiles]
+                        [pq.read_table(f, columns=rcols) for f in rfiles]
                     )
                 else:
                     # streaming layout: flat run files carry a range column
@@ -426,55 +431,31 @@ def build_index(
                     if not flat:
                         continue
                     runs_tbl = pads.dataset(flat).to_table(
-                        columns=["fold_key", "surface", "run"],
-                        filter=pads.field("range") == rng,
+                        columns=rcols, filter=pads.field("range") == rng,
                     )
                 if runs_tbl.num_rows == 0:
                     continue
                 mfiles = glob.glob(
                     os.path.join(markers_dir, f"range={rng}", "*.parquet")
                 )
-                mcols = ["fold_key", "surface", "term", "dropped"]
                 mk = (
-                    pa.concat_tables([pq.read_table(f, columns=mcols) for f in mfiles])
+                    pa.concat_tables(
+                        [pq.read_table(f, columns=["surface", "term", "dropped"])
+                         for f in mfiles]
+                    )
                     if mfiles else None
                 )
-                n_r = runs_tbl.num_rows
-                parts = [pa.table(
-                    {
-                        "fold_key": runs_tbl["fold_key"],
-                        "range": pa.array(np.full(n_r, rng, np.int32)),
-                        "surface": runs_tbl["surface"],
-                        "term": pa.nulls(n_r, pa.string()),
-                        "dropped": pa.nulls(n_r, pa.bool_()),
-                        "run": runs_tbl["run"],
-                    },
-                    schema=COGROUP_SCHEMA,
-                )]
-                if mk is not None and mk.num_rows:
-                    n_m = mk.num_rows
-                    parts.append(pa.table(
-                        {
-                            "fold_key": mk["fold_key"],
-                            "range": pa.array(np.full(n_m, rng, np.int32)),
-                            "surface": mk["surface"],
-                            "term": mk["term"],
-                            "dropped": mk["dropped"],
-                            "run": pa.nulls(n_m, pa.large_binary()),
-                        },
-                        schema=COGROUP_SCHEMA,
-                    ))
-                cg = pa.concat_tables(parts)
-                # co-group by fold_key in memory: int-code sort + slices
-                d = cg["fold_key"].combine_chunks().dictionary_encode()
-                codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-                order = np.argsort(codes, kind="stable")
-                cg = cg.take(pa.array(order))
-                cs = codes[order]
-                starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
-                bounds = np.append(starts, len(cs))
-                for s, e in zip(bounds[:-1], bounds[1:]):
-                    outs.append(merger(cg.slice(s, e - s)))
+                rm = pads.dataset(rangemap_dir).to_table(
+                    filter=pads.field("range") == rng
+                )
+                deltas = varbyte_decode(
+                    np.frombuffer(rm["ids_blob"][0].as_py(), np.uint8)
+                )
+                sorted_ids = np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
+                outs.append(merge_range_table(
+                    runs_tbl, mk, rng, n_shards, chunk_docs,
+                    sorted_ids=sorted_ids, range_offset=range_offsets[rng],
+                ))
             from ..stages.postings import CHUNKS_SCHEMA
 
             return pa.concat_tables(outs) if outs else CHUNKS_SCHEMA.empty_table()

@@ -50,3 +50,176 @@ def test_postings_roundtrip(entries):
     assert dt.tolist() == tfs.tolist()
     assert dl.tolist() == lens.tolist()
     assert di.dtype == np.int64
+
+
+# ---- segmented encoder + whole-range merge parity ----------------------
+
+def test_encode_postings_segments_matches_scalar():
+    from searchengine_ray.functions.codec import encode_postings_segments
+
+    rng = np.random.default_rng(42)
+    # many tiny segments + a few large ones (the realistic-vocabulary shape)
+    seg_lens = np.r_[rng.integers(1, 4, size=300), rng.integers(100, 500, size=5)]
+    rng.shuffle(seg_lens)
+    bounds = np.r_[0, np.cumsum(seg_lens)]
+    total = int(bounds[-1])
+    ids_parts, tfs, lens = [], [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        n = e - s
+        ids_parts.append(np.sort(rng.choice(2**40, size=n, replace=False)))
+    ids = np.concatenate(ids_parts).astype(np.int64)
+    tfs = rng.integers(1, 900, size=total).astype(np.int64)
+    lens = rng.integers(1, 9000, size=total).astype(np.int64)
+    segs = encode_postings_segments(ids, tfs, lens, bounds)
+    assert len(segs) == len(seg_lens)
+    for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+        want = encode_postings(ids[s:e], tfs[s:e], lens[s:e])
+        assert segs[i].as_py() == want, f"segment {i} bytes differ"
+
+
+def test_decode_postings_concat_matches_scalar():
+    from searchengine_ray.functions.codec import decode_postings_concat
+
+    rng = np.random.default_rng(7)
+    blobs, want_i, want_t, want_l = [], [], [], []
+    for n in [1, 1, 2, 5, 1, 300, 3]:
+        i = np.sort(rng.choice(2**35, size=n, replace=False)).astype(np.int64)
+        t = rng.integers(1, 50, size=n).astype(np.int64)
+        l = rng.integers(1, 500, size=n).astype(np.int64)
+        blobs.append(encode_postings(i, t, l))
+        want_i.append(i); want_t.append(t); want_l.append(l)
+    di, dt, dl = decode_postings_concat(blobs)
+    assert di.tolist() == np.concatenate(want_i).tolist()
+    assert dt.tolist() == np.concatenate(want_t).tolist()
+    assert dl.tolist() == np.concatenate(want_l).tolist()
+
+
+def _random_range_inputs(seed, n_fold=25, with_markers=True):
+    """Runs + markers for ONE doc range: folded surface variants, entity
+    drops, multi-run surfaces, shared doc ids across case variants."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    pool = np.sort(rng.choice(2**40, size=400, replace=False)).astype(np.int64)
+    words = [f"word{k:03d}" for k in range(n_fold)]
+    run_rows = {"surface": [], "df": [], "run": []}
+    marker_rows = {"surface": [], "term": [], "dropped": []}
+    for k, w in enumerate(words):
+        variants = [w] if k % 3 == 0 else [w, w.capitalize()]
+        dropped = with_markers and k % 7 == 3
+        for v in variants:
+            n_runs = 1 + int(rng.integers(0, 3))
+            for _ in range(n_runs):
+                n = 1 + int(rng.integers(0, 5))
+                ids = np.sort(rng.choice(pool, size=n, replace=False))
+                tfs = rng.integers(1, 9, size=n).astype(np.int64)
+                lens = rng.integers(20, 60, size=n).astype(np.int64)
+                run_rows["surface"].append(v)
+                run_rows["df"].append(n)
+                run_rows["run"].append(encode_postings(ids, tfs, lens))
+            if with_markers:
+                marker_rows["surface"].append(v)
+                marker_rows["term"].append(w)  # fold to lowercase
+                marker_rows["dropped"].append(dropped)
+    runs_tbl = pa.table(
+        {
+            "surface": pa.array(run_rows["surface"], pa.string()),
+            "df": pa.array(run_rows["df"], pa.int64()),
+            "run": pa.array(run_rows["run"], pa.large_binary()),
+        }
+    )
+    markers = (
+        pa.table(
+            {
+                "surface": pa.array(marker_rows["surface"], pa.string()),
+                "term": pa.array(marker_rows["term"], pa.string()),
+                "dropped": pa.array(marker_rows["dropped"], pa.bool_()),
+            }
+        )
+        if with_markers
+        else None
+    )
+    return runs_tbl, markers, pool
+
+
+def _groupwise_merge(runs_tbl, markers, rng_id, n_shards, chunk_docs,
+                     rangemap_dir=None, range_offsets=None):
+    """The old build wiring: assemble COGROUP rows per fold_key and run
+    the scalar MergeFoldRangeGroup over each co-group."""
+    import pyarrow as pa
+
+    from searchengine_ray.stages.postings import (
+        CHUNKS_SCHEMA,
+        COGROUP_SCHEMA,
+        MergeFoldRangeGroup,
+        fold_key_of,
+    )
+
+    merger = MergeFoldRangeGroup(
+        n_shards=n_shards, chunk_docs=chunk_docs,
+        rangemap_dir=rangemap_dir, range_offsets=range_offsets,
+    )
+    groups = {}
+    for i in range(runs_tbl.num_rows):
+        s = runs_tbl["surface"][i].as_py()
+        groups.setdefault(fold_key_of(s), []).append(
+            (s, None, None, runs_tbl["run"][i].as_py())
+        )
+    if markers is not None:
+        for i in range(markers.num_rows):
+            s = markers["surface"][i].as_py()
+            groups.setdefault(fold_key_of(s), []).append(
+                (s, markers["term"][i].as_py(),
+                 markers["dropped"][i].as_py(), None)
+            )
+    outs = []
+    for fk in sorted(groups):
+        rows = groups[fk]
+        g = pa.table(
+            {
+                "fold_key": pa.array([fk] * len(rows), pa.string()),
+                "range": pa.array([rng_id] * len(rows), pa.int32()),
+                "surface": pa.array([r[0] for r in rows], pa.string()),
+                "term": pa.array([r[1] for r in rows], pa.string()),
+                "dropped": pa.array([r[2] for r in rows], pa.bool_()),
+                "run": pa.array([r[3] for r in rows], pa.large_binary()),
+            },
+            schema=COGROUP_SCHEMA,
+        )
+        outs.append(merger(g))
+    return pa.concat_tables(outs) if outs else CHUNKS_SCHEMA.empty_table()
+
+
+def _sorted_chunks(t):
+    return t.sort_by([("term", "ascending"), ("chunk_idx", "ascending")])
+
+
+def test_merge_range_table_matches_groupwise(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.functions.codec import varbyte_encode
+    from searchengine_ray.stages.postings import merge_range_table
+
+    for seed, with_markers in [(1, True), (2, False), (3, True)]:
+        runs_tbl, markers, pool = _random_range_inputs(seed, with_markers=with_markers)
+        # hashed-id path (no densification)
+        got = merge_range_table(runs_tbl, markers, 5, 8, 4)
+        want = _groupwise_merge(runs_tbl, markers, 5, 8, 4)
+        assert _sorted_chunks(got).equals(_sorted_chunks(want)), f"seed={seed} hashed"
+        # dense-id path: rangemap over the full doc pool
+        rm_dir = tmp_path / f"rm{seed}"
+        rm_dir.mkdir()
+        deltas = np.diff(np.r_[np.int64(0), pool]).astype(np.uint64)
+        pq.write_table(
+            pa.table({"range": pa.array([5], pa.int32()),
+                      "ids_blob": pa.array([varbyte_encode(deltas).tobytes()],
+                                           pa.large_binary())}),
+            rm_dir / "part-0.parquet",
+        )
+        offsets = {5: 1000}
+        got_d = merge_range_table(runs_tbl, markers, 5, 8, 4,
+                                  sorted_ids=pool, range_offset=1000)
+        want_d = _groupwise_merge(runs_tbl, markers, 5, 8, 4,
+                                  rangemap_dir=str(rm_dir), range_offsets=offsets)
+        assert _sorted_chunks(got_d).equals(_sorted_chunks(want_d)), f"seed={seed} dense"
