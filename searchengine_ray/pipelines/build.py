@@ -133,6 +133,23 @@ class _TokenizePartition:
         return pa.table(out)
 
 
+_TOK_CACHE: dict = {}
+
+
+def _tokenize_partition_task(batch: pa.Table, profile_name: str,
+                             index_dir: str, n_ranges: int) -> pa.Table:
+    """Task-form tokenize partition: the stage object (compiled rule
+    tables for the reference profile) is cached per worker PROCESS, so
+    repeated tasks on a reused Ray worker pay construction once —
+    actor-pool semantics without actor-spawn cost."""
+    key = (profile_name, index_dir, n_ranges)
+    tp = _TOK_CACHE.get(key)
+    if tp is None:
+        _TOK_CACHE.clear()  # one build at a time per worker; don't pile up
+        tp = _TOK_CACHE[key] = _TokenizePartition(profile_name, index_dir, n_ranges)
+    return tp(batch)
+
+
 def _input_files(source: str) -> list[str]:
     if os.path.isdir(source):
         return sorted(glob.glob(os.path.join(source, "*.parquet")))
@@ -144,7 +161,7 @@ def build_index(
     index_dir: str,
     profile="simple",
     n_shards: int = 16,
-    chunk_docs: int = 262144,
+    chunk_docs: int | None = None,
     n_ranges: int = 32,
     resume: bool = True,
     concurrency: int | None = None,
@@ -187,25 +204,18 @@ def build_index(
         if pending:
             ctrl = rd.from_items([{"pid": p, "path": f} for p, f in pending])
             pool = max(1, min(concurrency or 8, len(pending)))
-            if prof.tokenizer == "simple":
-                # stateless profile → plain tasks reuse the default worker
-                # pool (no dedicated actor processes to spin up)
-                def tokenize_partition(batch: pa.Table) -> pa.Table:
-                    return _TokenizePartition(prof.name, index_dir, n_ranges)(batch)
-
-                metrics = ctrl.map_batches(
-                    tokenize_partition, batch_size=1, batch_format="pyarrow",
-                    num_cpus=1,
-                ).take_all()
-            else:
-                metrics = ctrl.map_batches(
-                    _TokenizePartition,
-                    fn_constructor_args=(prof.name, index_dir, n_ranges),
-                    batch_size=1,
-                    batch_format="pyarrow",
-                    concurrency=pool,
-                    num_cpus=1,
-                ).take_all()
+            # plain tasks on the shared worker pool for BOTH profiles:
+            # stage construction is ~5 ms even for the reference rule
+            # tables (measured), and the per-process cache below makes it
+            # once per worker — while a dedicated actor pool pays a fresh
+            # process + package import per actor (seconds of spawn for a
+            # stage whose real compute is ~250 ms/file)
+            metrics = ctrl.map_batches(
+                _tokenize_partition_task, batch_size=1, batch_format="pyarrow",
+                num_cpus=1, concurrency=pool,
+                fn_kwargs={"profile_name": prof.name, "index_dir": index_dir,
+                           "n_ranges": n_ranges},
+            ).take_all()
             for m in metrics:
                 manifest.mark_partition(m["pid"], m["path"], {k: int(v) for k, v in m.items() if k not in ("pid", "path")})
             manifest.invalidate_downstream()
@@ -280,7 +290,7 @@ def build_index(
         docstats_dir = os.path.join(index_dir, "docstats")
 
         def encode_range_task(batch: pa.Table) -> pa.Table:
-            out = {"range": [], "n": [], "total_len": [], "ids_blob": []}
+            out = {"range": [], "n": [], "total_len": []}
             for rng in batch["range"].to_pylist():
                 files = glob.glob(
                     os.path.join(docstats_dir, f"range={rng}", "*.parquet")
@@ -310,36 +320,49 @@ def build_index(
                 dest = os.path.join(docmap_dir, f"r{rng:04d}.parquet")
                 pq.write_table(dm, dest + ".tmp", row_group_size=DOCMAP_ROW_GROUP)
                 os.replace(dest + ".tmp", dest)
+                # rangemap side output, one DETERMINISTIC file per range:
+                # the merge task point-reads rangemap/rNNNN.parquet instead
+                # of filtering a pyarrow dataset (whose footer/statistics
+                # machinery costs ~100-300 ms per task, dominating the
+                # merge of small ranges)
+                rm_dest = os.path.join(rangemap_dir, f"r{rng:04d}.parquet")
+                pq.write_table(
+                    pa.table(
+                        {
+                            "range": pa.array([rng], pa.int32()),
+                            "ids_blob": pa.array(
+                                [varbyte_encode(deltas).tobytes()],
+                                pa.large_binary(),
+                            ),
+                        }
+                    ),
+                    rm_dest + ".tmp",
+                )
+                os.replace(rm_dest + ".tmp", rm_dest)
                 out["range"].append(rng)
                 out["n"].append(len(ids))
                 out["total_len"].append(int(g["doc_len"].to_numpy().sum()))
-                out["ids_blob"].append(varbyte_encode(deltas).tobytes())
             return pa.table(
                 {
                     "range": pa.array(out["range"], pa.int32()),
                     "n": pa.array(out["n"], pa.int64()),
                     "total_len": pa.array(out["total_len"], pa.int64()),
-                    "ids_blob": pa.array(out["ids_blob"], pa.large_binary()),
                 }
             )
 
         shutil.rmtree(rangemap_dir, ignore_errors=True)
         shutil.rmtree(docmap_dir, ignore_errors=True)
         os.makedirs(docmap_dir, exist_ok=True)
-        (
+        os.makedirs(rangemap_dir, exist_ok=True)
+        meta_rows = (
             rd.from_items([{"range": r} for r in range(n_ranges)])
             .map_batches(encode_range_task, batch_size=1, batch_format="pyarrow",
-                         num_cpus=1)
-            .write_parquet(rangemap_dir)
+                         num_cpus=1,
+                         **({"concurrency": concurrency} if concurrency else {}))
+            .take_all()
         )
-        import duckdb as _dd
-
-        con = _dd.connect()
-        rows = con.sql(
-            f"SELECT range, n FROM read_parquet('{rangemap_dir}/*.parquet') ORDER BY range"
-        ).fetchall()
-        con.close()
-        counts = dict(rows)
+        counts = {r["range"]: r["n"] for r in meta_rows}
+        total_len = int(sum(r["total_len"] for r in meta_rows))
         offsets = []
         acc = 0
         for rng_id in range(n_ranges):
@@ -347,14 +370,27 @@ def build_index(
             acc += counts.get(rng_id, 0)
         with open(offsets_path + ".tmp", "w") as f:
             json.dump(
-                {"offsets": offsets, "n_ranges": n_ranges,
+                {"offsets": offsets, "n_ranges": n_ranges, "n_docs": acc,
+                 "total_len": total_len,
                  "docmap_row_group": DOCMAP_ROW_GROUP},
                 f,
             )
         os.replace(offsets_path + ".tmp", offsets_path)
         manifest.mark_stage("rangemap", {"n_ranges": n_ranges})
     with open(offsets_path) as f:
-        range_offsets = json.load(f)["offsets"]
+        _off_payload = json.load(f)
+        range_offsets = _off_payload["offsets"]
+    if chunk_docs is None:
+        # adaptive default: target ~64 block-max chunks for a term that
+        # spans the whole corpus, so WAND/cold reads have skippable units
+        # even at bench-sized corpora; capped at 262144 (the fixed chunk
+        # size at the 10^12-doc design point, where every term has
+        # thousands of chunks regardless).  Floor 4096 keeps per-chunk
+        # metadata rows from outnumbering postings on tiny corpora.
+        _nd = _off_payload.get("n_docs")
+        chunk_docs = 262144 if _nd is None else int(
+            min(262144, max(4096, 1 << int(np.ceil(np.log2(max(_nd / 64, 1))))))
+        )
     _mark("rangemap_docmap")
 
     # ---- stage: postings (distributed resolve → (fold_key, range) merge)
@@ -445,9 +481,13 @@ def build_index(
                     )
                     if mfiles else None
                 )
-                rm = pads.dataset(rangemap_dir).to_table(
-                    filter=pads.field("range") == rng
-                )
+                rm_path = os.path.join(rangemap_dir, f"r{rng:04d}.parquet")
+                if os.path.exists(rm_path):  # deterministic per-range file
+                    rm = pq.read_table(rm_path, columns=["ids_blob"])
+                else:  # legacy layout: Ray-written parts with a range column
+                    rm = pads.dataset(rangemap_dir).to_table(
+                        filter=pads.field("range") == rng
+                    )
                 deltas = varbyte_decode(
                     np.frombuffer(rm["ids_blob"][0].as_py(), np.uint8)
                 )
@@ -464,7 +504,8 @@ def build_index(
         (
             rd.from_items([{"range": r} for r in range(n_ranges)])
             .map_batches(merge_range_task, batch_size=1, batch_format="pyarrow",
-                         num_cpus=1)
+                         num_cpus=1,
+                         **({"concurrency": concurrency} if concurrency else {}))
             .write_parquet(os.path.join(index_dir, "postings"),
                            partition_cols=["shard"])
         )
@@ -541,7 +582,8 @@ def build_index(
         (
             rd.from_items([{"shard": s} for s in range(n_shards)])
             .map_batches(compact_shard_task, batch_size=1, batch_format="pyarrow",
-                         num_cpus=1)
+                         num_cpus=1,
+                         **({"concurrency": concurrency} if concurrency else {}))
             .write_parquet(dict_dir)
         )
         manifest.mark_stage("dictionary")
@@ -575,14 +617,19 @@ def _corpus_stats(index_dir: str, profile_name: str, n_shards: int) -> dict:
     import duckdb
 
     con = duckdb.connect()
-    # corpus totals come from the (range-count-sized) rangemap metadata —
-    # the rangemap tasks already summed doc_len and checked id uniqueness
-    # per range while they had the rows in hand, so no full docstats scan
-    # happens here
-    n_docs, total_len = con.sql(
-        f"SELECT COALESCE(sum(n), 0), COALESCE(sum(total_len), 0) "
-        f"FROM read_parquet('{index_dir}/rangemap/*.parquet')"
-    ).fetchone()
+    # corpus totals come from range_offsets.json — the rangemap tasks
+    # already summed doc_len and checked id uniqueness per range while
+    # they had the rows in hand, so no full docstats scan happens here
+    # (legacy index dirs that predate the json keys fall back to the old
+    # rangemap metadata scan)
+    with open(os.path.join(index_dir, "range_offsets.json")) as f:
+        _payload = json.load(f)
+    n_docs, total_len = _payload.get("n_docs"), _payload.get("total_len")
+    if n_docs is None or total_len is None:
+        n_docs, total_len = con.sql(
+            f"SELECT COALESCE(sum(n), 0), COALESCE(sum(total_len), 0) "
+            f"FROM read_parquet('{index_dir}/rangemap/*.parquet')"
+        ).fetchone()
     n_terms, n_postings, max_df, p99_df = (0, 0, 0, 0)
     top_terms: list = []
     if glob.glob(f"{index_dir}/dictionary/*.parquet"):

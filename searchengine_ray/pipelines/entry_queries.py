@@ -22,7 +22,7 @@ from ..sources.transcripts import transcripts_from_documents
 from .build import build_index, compute_doc_weights
 from .search import QueryEngine
 
-CACHE_VERSION = "v7"  # v7: term-sorted per-shard compacted postings + dictionary partials
+CACHE_VERSION = "v8"  # v8: adaptive chunk_docs default (corpus-sized block-max chunks)
 _CACHE_ROOT = f"/tmp/searchengine_ray_cache_{CACHE_VERSION}"
 _ENGINES: dict[tuple, QueryEngine] = {}
 

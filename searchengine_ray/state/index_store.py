@@ -90,6 +90,11 @@ class IndexReader:
         self._term_cis: dict[str, set] = {}
         self._cache_lock = threading.Lock()
         self._meta_cache: dict[str, dict] = {}
+        # per-shard compacted-file handles + row-group term stats, parsed
+        # ONCE (see _compact_entry); pq.ParquetFile reads are serialized
+        # by _pf_lock (query threads share the reader)
+        self._compact: dict[int, object] = {}
+        self._pf_lock = threading.Lock()
         # LRU of docmap row-group tables — repeated top-k lookups hit the
         # same hot groups; 256 groups × DOCMAP_ROW_GROUP rows is a few MB
         self._dm_rg_cache: OrderedDict = OrderedDict()
@@ -193,8 +198,7 @@ class IndexReader:
             missing = [int(ci) for ci in want if int(ci) not in have]
             if missing:
                 tbl = self._term_chunks(
-                    term, columns=["chunk_idx", "run"],
-                    extra_filter=pads.field("chunk_idx").isin(missing),
+                    term, columns=["chunk_idx", "run"], chunk_ids=missing,
                 )
                 decoded = {
                     int(ci): decode_postings(run)
@@ -279,23 +283,111 @@ class IndexReader:
         self.stats["chunks_decoded"] += n
         return n
 
+    # -- compacted-shard point reads --------------------------------------
+    def _compact_entry(self, shard: int):
+        """(ParquetFile, per-row-group term mins, maxs) for a shard's
+        compacted postings file, parsed ONCE per reader; None when the
+        shard is not compacted (legacy layout → dataset-scan fallback).
+
+        Cold fetches previously went through a pyarrow.dataset scan whose
+        footer/statistics machinery re-ran on EVERY query — 295 ms of a
+        350 ms cold query at a 30k-term vocabulary, while the actual row
+        group reads + varbyte decode were ~10 ms.  Caching the footer and
+        binary-searching the term-sorted row-group stats makes a cold
+        term fetch a direct read_row_groups point read."""
+        ent = self._compact.get(shard, "unset")
+        if ent == "unset":
+            path = os.path.join(
+                self.index_dir, "postings", f"shard={shard}", "compact.parquet"
+            )
+            ent = None
+            if os.path.exists(path):
+                pf = pq.ParquetFile(path)
+                md = pf.metadata
+                names = [md.schema.column(i).name for i in range(md.num_columns)]
+                j = names.index("term")
+                mins, maxs, ok = [], [], md.num_row_groups > 0
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(j).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if ok:
+                    mins = np.array(mins, dtype=object)
+                    maxs = np.array(maxs, dtype=object)
+                    # binary search needs BOTH arrays monotone; the file is
+                    # term-sorted so this holds unless stats were truncated
+                    # pathologically — verify once, fall back if violated
+                    if all(mins[i] <= mins[i + 1] for i in range(len(mins) - 1)) and \
+                       all(maxs[i] <= maxs[i + 1] for i in range(len(maxs) - 1)):
+                        ent = (pf, mins, maxs)
+            self._compact[shard] = ent
+        return ent
+
+    def _point_read(self, shard: int, terms, columns) -> pa.Table | None:
+        """Chunk rows for ``terms`` within one shard via direct row-group
+        point reads, or None when the shard has no usable compact file
+        (caller falls back to the dataset scan).  Row groups holding a
+        term satisfy min <= term <= max; stats arrays are monotone
+        (term-sorted file), so each term's groups are one searchsorted
+        window.  Conservative under any stats truncation: a truncated
+        min is <= the true min and a truncated max >= the true max, so
+        windows can only widen — the in-memory term filter keeps the
+        result exact."""
+        ent = self._compact_entry(shard)
+        if ent is None:
+            return None
+        pf, mins, maxs = ent
+        groups: set[int] = set()
+        for t in terms:
+            lo = int(np.searchsorted(maxs, t, side="left"))
+            hi = int(np.searchsorted(mins, t, side="right"))
+            groups.update(range(lo, hi))
+        cols = list(dict.fromkeys(["term", *columns]))
+        if not groups:
+            schema = pf.schema_arrow
+            return pa.table(
+                {c: pa.array([], schema.field(c).type) for c in cols}
+            )
+        with self._pf_lock:
+            tbl = pf.read_row_groups(sorted(groups), columns=cols)
+        terms = sorted(terms)
+        if len(terms) == 1:
+            mask = pc.equal(tbl["term"], terms[0])
+        else:
+            mask = pc.is_in(tbl["term"], value_set=pa.array(terms, pa.string()))
+        return tbl.filter(mask)
+
     def fetch_terms(self, terms) -> int:
-        """Batched cold fetch for a query's term set: ONE dataset scan
-        with a combined (shard, term) predicate instead of a scan per
-        term — per-term scans re-open every file in the shard for each
-        term, which dominates cold-query latency (pyarrow's CPU pool is
-        1 thread under OMP_NUM_THREADS=1, so threading the per-term
-        scans just serializes them).  Returns chunks decoded."""
+        """Batched cold fetch for a query's term set: row-group point
+        reads per shard (compacted layout), or ONE dataset scan with a
+        combined (shard, term) predicate for legacy shards — per-term
+        scans re-open every file in the shard for each term, which
+        dominates cold-query latency.  Returns chunks decoded."""
         want = self._cold_terms(terms)
         if not want:
             return 0
-        shards = sorted({self._dict[t][2] for t in want})
-        flt = pads.field("shard").isin(shards) & pads.field("term").isin(sorted(want))
-        tbl = self._postings_ds.to_table(
-            columns=["term", "chunk_idx", "doc_min", "doc_max", "max_ntf", "run"],
-            filter=flt,
-        )
-        return self._ingest_chunk_rows(tbl)
+        cols = ["term", "chunk_idx", "doc_min", "doc_max", "max_ntf", "run"]
+        by_shard: dict[int, list[str]] = {}
+        for t in want:
+            by_shard.setdefault(self._dict[t][2], []).append(t)
+        n = 0
+        legacy: list[tuple[int, list[str]]] = []
+        for shard, ts in sorted(by_shard.items()):
+            tbl = self._point_read(shard, ts, cols)
+            if tbl is None:
+                legacy.append((shard, ts))
+            elif tbl.num_rows:
+                n += self._ingest_chunk_rows(tbl)
+        if legacy:
+            flt = pads.field("shard").isin(sorted(s for s, _ in legacy)) & \
+                pads.field("term").isin(sorted(t for _, ts in legacy for t in ts))
+            n += self._ingest_chunk_rows(
+                self._postings_ds.to_table(columns=cols, filter=flt)
+            )
+        return n
 
     def fetch_metas(self, terms) -> None:
         """Batched chunk-metadata fetch (no run blobs) for terms whose
@@ -306,12 +398,24 @@ class IndexReader:
         )
         if not want:
             return
-        shards = sorted({self._dict[t][2] for t in want})
-        flt = pads.field("shard").isin(shards) & pads.field("term").isin(want)
-        tbl = self._postings_ds.to_table(
-            columns=["term", "chunk_idx", "doc_min", "doc_max", "max_ntf"],
-            filter=flt,
-        )
+        cols = ["term", "chunk_idx", "doc_min", "doc_max", "max_ntf"]
+        by_shard: dict[int, list[str]] = {}
+        for t in want:
+            by_shard.setdefault(self._dict[t][2], []).append(t)
+        parts, legacy = [], []
+        for shard, ts in sorted(by_shard.items()):
+            t_tbl = self._point_read(shard, ts, cols)
+            if t_tbl is None:
+                legacy.append((shard, ts))
+            elif t_tbl.num_rows:
+                parts.append(t_tbl)
+        if legacy:
+            flt = pads.field("shard").isin(sorted(s for s, _ in legacy)) & \
+                pads.field("term").isin(sorted(t for _, ts in legacy for t in ts))
+            parts.append(self._postings_ds.to_table(columns=cols, filter=flt))
+        if not parts:
+            return
+        tbl = pa.concat_tables(parts)
         terms_col = tbl["term"].to_pylist()
         by_term: dict[str, list[int]] = {}
         for i, t in enumerate(terms_col):
@@ -336,14 +440,19 @@ class IndexReader:
         for t in want:
             by_shard.setdefault(self._dict[t][2], []).append(t)
         n = 0
+        cols = ["term", "chunk_idx", "doc_min", "doc_max", "max_ntf", "run"]
         for shard, shard_terms in sorted(by_shard.items()):
-            flt = pads.field("shard") == shard
-            if terms is not None:
-                flt = flt & pads.field("term").isin(sorted(shard_terms))
-            tbl = self._postings_ds.to_table(
-                columns=["term", "chunk_idx", "doc_min", "doc_max", "max_ntf", "run"],
-                filter=flt,
-            )
+            ent = self._compact_entry(shard)
+            if ent is not None and terms is None:
+                with self._pf_lock:
+                    tbl = ent[0].read(columns=cols)
+            elif ent is not None:
+                tbl = self._point_read(shard, shard_terms, cols)
+            else:
+                flt = pads.field("shard") == shard
+                if terms is not None:
+                    flt = flt & pads.field("term").isin(sorted(shard_terms))
+                tbl = self._postings_ds.to_table(columns=cols, filter=flt)
             if terms is None and len(want) < len(self._dict):
                 # whole-dictionary warmup over a partially warm reader:
                 # drop rows of already-resident terms before ingesting
@@ -353,12 +462,20 @@ class IndexReader:
             del tbl
         return n
 
-    def _term_chunks(self, term: str, columns, extra_filter=None):
+    def _term_chunks(self, term: str, columns, chunk_ids=None):
         shard = self._dict[term][2] if term in self._dict else int(term_shard([term], self.n_shards)[0])
-        flt = (pads.field("shard") == shard) & (pads.field("term") == term)
-        if extra_filter is not None:
-            flt = flt & extra_filter
-        return self._postings_ds.to_table(columns=columns, filter=flt)
+        tbl = self._point_read(shard, [term], columns)
+        if tbl is None:
+            flt = (pads.field("shard") == shard) & (pads.field("term") == term)
+            if chunk_ids is not None:
+                flt = flt & pads.field("chunk_idx").isin(list(chunk_ids))
+            return self._postings_ds.to_table(columns=columns, filter=flt)
+        if chunk_ids is not None:
+            tbl = tbl.filter(
+                pc.is_in(tbl["chunk_idx"],
+                         value_set=pa.array(sorted(chunk_ids), pa.int32()))
+            )
+        return tbl.select(columns)
 
     # -- doc map / stats -------------------------------------------------
     def doc_positions(self, ids) -> np.ndarray:
