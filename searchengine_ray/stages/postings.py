@@ -250,6 +250,17 @@ def resolve_fold_group(group: pa.Table, case_folding: bool = True,
     exact: keep iff some surface alone has df≥2, else all surfaces have
     df==1 (one run each) and distinct docs = distinct doc_min values.
     """
+    if entity_min_df > 2:
+        import warnings
+
+        warnings.warn(
+            "entity_min_df > 2 is only approximately enforced: surfaces "
+            "with df > 1 fall back to the ADDITIVE df sum (an upper bound "
+            "on distinct docs), so borderline entities may be UNDER-dropped "
+            "relative to the reference's deduplicated-df rule.  Exact "
+            "enforcement needs doc_ids decoded from the run payloads.",
+            stacklevel=2,
+        )
     fold_key = group["fold_key"][0].as_py()
     # finish the per-surface aggregation over partials
     agg: dict[str, list] = {}  # surface -> [is_cap, any_ent, df_sum, doc_mins, ranges]

@@ -209,3 +209,31 @@ def test_resolve_fold_group_distinct_df():
     assert set(same["term"].to_pylist()) == {"DATA CORONA"}
     diff = resolve_fold_group(partials(42, 43))
     assert diff["dropped"].to_pylist() == [False, False]
+
+
+def test_entity_min_df_above_two_warns():
+    """entity_min_df > 2 falls back to the additive df upper bound for
+    df>1 surfaces (may UNDER-drop vs the reference's deduplicated-df
+    rule) — pinned to warn so the approximation is never silent."""
+    import warnings
+
+    import pyarrow as pa
+
+    from searchengine_ray.stages.postings import PARTIAL_SCHEMA, resolve_fold_group
+
+    g = pa.table(
+        {
+            "fold_key": ["apple"] * 2, "surface": ["Apple", "apple"],
+            "is_cap": [True, False], "is_entity": [True, False],
+            "df": [3, 2], "doc_min": [1, 2], "ranges": [[0], [0]],
+        },
+        schema=PARTIAL_SCHEMA,
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        resolve_fold_group(g, entity_min_df=5)
+    assert any("approximately enforced" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        resolve_fold_group(g, entity_min_df=2)  # exact default: silent
+    assert not w
