@@ -85,8 +85,10 @@ class SearchWorker:
 class SearchService:
     """Driver-side pool handle.
 
-    ``routing="terms"`` (default): queries with the same term set hit the
-    same worker — cache-optimal for skewed query workloads.
+    ``routing="terms"`` (default): queries with the same raw lowercased
+    token set hit the same worker — cache-optimal for skewed query
+    workloads (an approximation of resolved-term affinity; see module
+    docstring).
     ``routing="rr"``: round-robin — latency-optimal for uniform ones.
     """
 
