@@ -64,7 +64,7 @@ class BruteForceScorer:
             idx = np.flatnonzero(mask)
             if len(idx) == 0:
                 continue
-            top = idx[np.argsort(-c[idx], kind="stable")[: self.k]]
+            top = _batch_topk(c, vec_ids, idx, self.k)
             out_q.append(np.full(len(top), qid, dtype=np.int64))
             out_v.append(vec_ids[top])
             out_c.append(c[top])
@@ -79,6 +79,17 @@ class BruteForceScorer:
                 "cos": pa.array(np.concatenate(out_c)),
             }
         )
+
+
+def _batch_topk(scores: np.ndarray, vec_ids: np.ndarray, idx: np.ndarray,
+                k: int) -> np.ndarray:
+    """Top-k of ``idx`` under the GLOBAL tie order (rounded-cos key desc,
+    vec_id asc) — the same order ``_local_topk``/``_final_topk`` and the
+    DuckDB oracles use.  Truncating on raw cos with batch-position ties
+    could drop a row the oracle keeps whenever a rounded-key tie lands on
+    the per-batch k boundary."""
+    key = np.floor(scores[idx] * 1e6 + 0.5)
+    return idx[np.lexsort((vec_ids[idx], -key))[:k]]
 
 
 def _final_topk(parts: pa.Table, k: int) -> pa.Table:
@@ -313,7 +324,7 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_clusters: int = 16,
                 idx = np.flatnonzero(mask)
                 if not len(idx):
                     continue
-                top = idx[np.argsort(-cos[idx, j], kind="stable")[: self.k]]
+                top = _batch_topk(cos[:, j], vec_ids, idx, self.k)
                 out_q.append(np.full(len(top), qid, dtype=np.int64))
                 out_v.append(vec_ids[top])
                 out_c.append(cos[top, j])
@@ -415,7 +426,7 @@ def ivf_search(ivf_dir: str, qids: np.ndarray, qmat: np.ndarray, k: int = 10,
                 idx = np.flatnonzero(mask)
                 if not len(idx):
                     continue
-                top = idx[np.argsort(-cos[idx, j], kind="stable")[: self.k]]
+                top = _batch_topk(cos[:, j], vec_ids, idx, self.k)
                 out_q.append(np.full(len(top), qid, dtype=np.int64))
                 out_v.append(vec_ids[top])
                 out_c.append(cos[top, j])

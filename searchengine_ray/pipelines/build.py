@@ -496,8 +496,6 @@ def build_index(
                     runs_tbl, mk, rng, n_shards, chunk_docs,
                     sorted_ids=sorted_ids, range_offset=range_offsets[rng],
                 ))
-            from ..stages.postings import CHUNKS_SCHEMA
-
             return pa.concat_tables(outs) if outs else CHUNKS_SCHEMA.empty_table()
 
         shutil.rmtree(os.path.join(index_dir, "postings"), ignore_errors=True)
@@ -541,7 +539,17 @@ def build_index(
                     f for f in glob.glob(os.path.join(sdir, "*.parquet"))
                     if os.path.basename(f) != "compact.parquet"
                 ]
-                if parts:
+                # Retry/crash safety: compact.parquet is written by an
+                # atomic os.replace AFTER reading every part, and the
+                # postings stage rmtree's the dir before writing fresh
+                # parts — so an existing compact is always complete and
+                # authoritative.  A retry that lands mid part-deletion
+                # must NOT rebuild from the surviving subset.
+                if os.path.exists(cpath):
+                    for f in parts:
+                        os.remove(f)
+                    tbl = pq.read_table(cpath, columns=["term", "df_chunk", "cf_chunk"])
+                elif parts:
                     tbl = pa.concat_tables([pq.read_table(f) for f in parts])
                     order = _pc.sort_indices(
                         tbl,
@@ -553,8 +561,6 @@ def build_index(
                     os.replace(cpath + ".tmp", cpath)
                     for f in parts:
                         os.remove(f)
-                elif os.path.exists(cpath):  # idempotent re-run
-                    tbl = pq.read_table(cpath, columns=["term", "df_chunk", "cf_chunk"])
                 else:
                     continue
                 g = tbl.group_by("term").aggregate(

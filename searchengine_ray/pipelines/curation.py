@@ -72,14 +72,17 @@ def decontaminate(sf_dir: str, eval_max_id: int = 10, n: int = 8):
     import ray
     import ray.data as rd
 
-    from .dedup import _flat_grams, _gram_hashes
+    from .dedup import _gram_hashes, _grams_at
 
     ev = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
         columns=["doc_id", "text"],
         filter=pads.field("doc_id") < eval_max_id,
     )
-    ev_grams, _ = _flat_grams(ev["text"], n)
-    ev_hashes, _, _, _ = _gram_hashes(ev["text"], n)
+    # one tokenize/window pass serves both the hash array and the exact
+    # gram strings (the strings come from the same (flat, starts))
+    ev_hashes, _, ev_flat, ev_starts = _gram_hashes(ev["text"], n)
+    ev_grams = (_grams_at(ev_flat, ev_starts, n) if len(ev_starts)
+                else pa.array([], pa.string()))
     ref = ray.put((np.sort(ev_hashes), set(pc.unique(ev_grams).to_pylist())))
 
     def flag(batch: pa.Table) -> pa.Table:

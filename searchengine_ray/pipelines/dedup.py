@@ -164,9 +164,15 @@ def _flat_grams(texts, n: int):
     starts = _window_starts(parent, n)
     if not len(starts):
         return pa.array([], pa.string()), np.empty(0, np.int64)
+    return _grams_at(flat, starts, n), parent[starts].astype(np.int64)
+
+
+def _grams_at(flat: pa.Array, starts: np.ndarray, n: int) -> pa.Array:
+    """Exact gram strings at the given window starts (space-joined n
+    shifted token columns) — shared by ``_flat_grams`` and callers that
+    already hold (flat, starts) from ``_gram_hashes``."""
     cols = [flat.take(pa.array(starts + j, pa.int64())) for j in range(n)]
-    grams = pc.binary_join_element_wise(*cols, " ")
-    return grams, parent[starts].astype(np.int64)
+    return pc.binary_join_element_wise(*cols, " ")
 
 
 _POLY_B = np.uint64(0x100000001B3)  # FNV prime (odd → invertible mod 2^64)
@@ -184,7 +190,10 @@ def _token_hashes_bytes(flat: pa.Array) -> np.ndarray:
     if m == 0:
         return np.empty(0, np.uint64)
     off0 = flat.offset
-    offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)[off0 : off0 + m + 1].astype(np.int64)
+    # large_string (int64 offsets) arrives whenever the input text column
+    # was large_string — e.g. a >2 GiB block or a Ray type promotion
+    odt = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+    offs = np.frombuffer(flat.buffers()[1], dtype=odt)[off0 : off0 + m + 1].astype(np.int64)
     data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]].astype(np.uint64)
     starts = offs[:-1] - offs[0]
     lens = np.diff(offs)

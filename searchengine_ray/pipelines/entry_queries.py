@@ -175,9 +175,20 @@ def q_rerank_search(sf_dir: str) -> pa.Table:
         )
         ids = emb["vec_id"].to_numpy()
         order = np.argsort(ids)
+        sid = ids[order]
+        # one vectorized rank->row mapping, validated: the SQL twin inner-
+        # joins vocab rank r to vec_id = r, so a gap would silently shift
+        # every later vector — fail loudly instead
+        pos = np.searchsorted(sid, np.arange(len(vocab)))
+        if len(vocab) and (pos[-1] >= len(sid)
+                           or not np.array_equal(sid[pos], np.arange(len(vocab)))):
+            raise ValueError(
+                f"embeddings.parquet must cover vec_id 0..{len(vocab) - 1} "
+                "to back the vocabulary word-vector model"
+            )
         with open(path, "w") as f:
             for r, term in enumerate(vocab):
-                row = emb["embedding"][int(order[np.searchsorted(ids[order], r)])]
+                row = emb["embedding"][int(order[pos[r]])]
                 vals = np.asarray(row.as_py(), dtype=np.float32)
                 # shortest float32 round-trip text so the loader's
                 # float32 parse == the parquet values == SQL's CAST

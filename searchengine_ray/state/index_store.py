@@ -360,34 +360,42 @@ class IndexReader:
             mask = pc.is_in(tbl["term"], value_set=pa.array(terms, pa.string()))
         return tbl.filter(mask)
 
-    def fetch_terms(self, terms) -> int:
-        """Batched cold fetch for a query's term set: row-group point
-        reads per shard (compacted layout), or ONE dataset scan with a
-        combined (shard, term) predicate for legacy shards — per-term
-        scans re-open every file in the shard for each term, which
-        dominates cold-query latency.  Returns chunks decoded."""
-        want = self._cold_terms(terms)
-        if not want:
-            return 0
-        cols = ["term", "chunk_idx", "doc_min", "doc_max", "max_ntf", "run"]
+    def _fetch_chunk_rows(self, want, cols) -> list[pa.Table]:
+        """Shared batched-fetch core: group ``want`` terms by their crc32
+        shard, point-read compacted shards, and fall back to ONE dataset
+        scan with a combined (shard, term) predicate for legacy shards —
+        per-term scans re-open every file in the shard for each term,
+        which dominates cold-query latency.  Each returned part covers
+        its terms completely (a term lives in exactly one shard)."""
         by_shard: dict[int, list[str]] = {}
         for t in want:
             by_shard.setdefault(self._dict[t][2], []).append(t)
-        n = 0
+        parts: list[pa.Table] = []
         legacy: list[tuple[int, list[str]]] = []
         for shard, ts in sorted(by_shard.items()):
             tbl = self._point_read(shard, ts, cols)
             if tbl is None:
                 legacy.append((shard, ts))
             elif tbl.num_rows:
-                n += self._ingest_chunk_rows(tbl)
+                parts.append(tbl)
         if legacy:
             flt = pads.field("shard").isin(sorted(s for s, _ in legacy)) & \
                 pads.field("term").isin(sorted(t for _, ts in legacy for t in ts))
-            n += self._ingest_chunk_rows(
-                self._postings_ds.to_table(columns=cols, filter=flt)
-            )
-        return n
+            tbl = self._postings_ds.to_table(columns=cols, filter=flt)
+            if tbl.num_rows:
+                parts.append(tbl)
+        return parts
+
+    def fetch_terms(self, terms) -> int:
+        """Batched cold fetch for a query's term set (meta + decoded
+        runs).  Returns chunks decoded."""
+        want = self._cold_terms(terms)
+        if not want:
+            return 0
+        cols = ["term", "chunk_idx", "doc_min", "doc_max", "max_ntf", "run"]
+        return sum(
+            self._ingest_chunk_rows(p) for p in self._fetch_chunk_rows(want, cols)
+        )
 
     def fetch_metas(self, terms) -> None:
         """Batched chunk-metadata fetch (no run blobs) for terms whose
@@ -399,20 +407,7 @@ class IndexReader:
         if not want:
             return
         cols = ["term", "chunk_idx", "doc_min", "doc_max", "max_ntf"]
-        by_shard: dict[int, list[str]] = {}
-        for t in want:
-            by_shard.setdefault(self._dict[t][2], []).append(t)
-        parts, legacy = [], []
-        for shard, ts in sorted(by_shard.items()):
-            t_tbl = self._point_read(shard, ts, cols)
-            if t_tbl is None:
-                legacy.append((shard, ts))
-            elif t_tbl.num_rows:
-                parts.append(t_tbl)
-        if legacy:
-            flt = pads.field("shard").isin(sorted(s for s, _ in legacy)) & \
-                pads.field("term").isin(sorted(t for _, ts in legacy for t in ts))
-            parts.append(self._postings_ds.to_table(columns=cols, filter=flt))
+        parts = self._fetch_chunk_rows(want, cols)
         if not parts:
             return
         tbl = pa.concat_tables(parts)
