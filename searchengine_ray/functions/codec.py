@@ -48,11 +48,8 @@ def varbyte_encode(values: np.ndarray) -> np.ndarray:
     return out
 
 
-def varbyte_decode(buf: np.ndarray) -> np.ndarray:
-    """Decode a uint8 varbyte stream back to a u64 array."""
-    b = np.frombuffer(memoryview(buf), dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
-    if b.size == 0:
-        return np.empty(0, dtype=_U64)
+def _vb_decode_core(b: np.ndarray) -> np.ndarray:
+    """Decode one uint8 varbyte block (must end on a group boundary)."""
     is_last = ((b & 0x80) == 0).astype(np.int64)
     ends = np.flatnonzero(is_last)
     starts = np.empty_like(ends)
@@ -62,6 +59,34 @@ def varbyte_decode(buf: np.ndarray) -> np.ndarray:
     pos = np.arange(b.size, dtype=np.int64) - starts[group_id]
     contrib = (b & 0x7F).astype(_U64) << (_U64(7) * pos.astype(_U64))
     return np.add.reduceat(contrib, starts)
+
+
+# Decode in cache-sized blocks: the core allocates ~10 temporaries of
+# 8 bytes per input byte, so a multi-MB stream streams tens of MB
+# through RAM per pass.  This box (and any busy multi-tenant node) is
+# memory-bandwidth-starved — whole-buffer decode measured 2× slower
+# solo and 5-10× slower with 4 workers decoding concurrently.  256 KiB
+# keeps every temporary L2-resident; a varbyte stream may be split at
+# any group boundary, so blocked output is bit-identical.
+_DECODE_BLOCK = 1 << 18
+
+
+def varbyte_decode(buf: np.ndarray) -> np.ndarray:
+    """Decode a uint8 varbyte stream back to a u64 array."""
+    b = np.frombuffer(memoryview(buf), dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if b.size == 0:
+        return np.empty(0, dtype=_U64)
+    if b.size <= _DECODE_BLOCK:
+        return _vb_decode_core(b)
+    outs = []
+    start, n = 0, b.size
+    while start < n:
+        end = min(start + _DECODE_BLOCK, n)
+        while end < n and b[end - 1] & 0x80:  # ≤9 scalar steps
+            end += 1
+        outs.append(_vb_decode_core(b[start:end]))
+        start = end
+    return np.concatenate(outs)
 
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray) -> bytes:
@@ -120,6 +145,16 @@ def _seg_arange(lens: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
 
 
+# Encode-side cache blocking (same bandwidth argument as _DECODE_BLOCK):
+# the segmented encoder allocates ~10 temporaries of 8 bytes per input
+# value plus an 8-byte scatter index per OUTPUT byte, so whole-batch
+# encodes stream tens of MB.  Split the segment list into runs of at
+# most this many input values (a single larger segment stays whole —
+# segment size is bounded by chunk_docs at the merge and by per-(term,
+# range) run size at tokenize, both cache-scale).
+_ENCODE_BLOCK_VALUES = 1 << 16
+
+
 def encode_postings_segments(doc_ids: np.ndarray, tfs: np.ndarray,
                              doc_lens: np.ndarray, bounds: np.ndarray):
     """Encode MANY posting runs in one vectorized pass.
@@ -135,6 +170,29 @@ def encode_postings_segments(doc_ids: np.ndarray, tfs: np.ndarray,
     import pyarrow as pa
 
     bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    n_seg = len(bounds) - 1
+    if n_seg <= 0:
+        return pa.array([], pa.large_binary())
+    if bounds[-1] - bounds[0] > _ENCODE_BLOCK_VALUES:
+        arrays, i = [], 0
+        while i < n_seg:
+            j = int(np.searchsorted(bounds,
+                                    bounds[i] + _ENCODE_BLOCK_VALUES, "right")) - 1
+            j = min(max(j, i + 1), n_seg)  # ≥1 segment per block
+            s, e = int(bounds[i]), int(bounds[j])
+            arrays.append(_encode_segments_core(
+                doc_ids[s:e], tfs[s:e], doc_lens[s:e], bounds[i:j + 1] - s))
+            i = j
+        return pa.concat_arrays(arrays)
+    return _encode_segments_core(doc_ids, tfs, doc_lens,
+                                 bounds - bounds[0])
+
+
+def _encode_segments_core(doc_ids: np.ndarray, tfs: np.ndarray,
+                          doc_lens: np.ndarray, bounds: np.ndarray):
+    """Single-block segmented encode; ``bounds[0]`` must be 0."""
+    import pyarrow as pa
+
     ns = np.diff(bounds)
     n_seg = len(ns)
     if n_seg == 0:
@@ -191,11 +249,35 @@ def decode_postings_concat(blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     The per-call numpy overhead of ``decode_postings`` dominates when a
     merge group holds dozens of small runs; this decodes the joined byte
     stream once and recovers per-run value segments from the varbyte
-    end-byte counts, with a segmented cumsum for the doc-id deltas."""
+    end-byte counts, with a segmented cumsum for the doc-id deltas.
+
+    Large blob sets are processed in ~``_DECODE_BLOCK``-byte slices of
+    consecutive blobs (cache-blocked like ``varbyte_decode`` — the
+    gather temporaries here are also 8 bytes per encoded byte); each
+    blob decodes independently, so slice-wise concatenation is exact."""
     blobs = [b for b in blobs if b]
     if not blobs:
         e = np.empty(0, np.int64)
         return e, e.copy(), e.copy()
+    if len(blobs) > 1:
+        total = sum(len(b) for b in blobs)
+        if total > _DECODE_BLOCK:
+            parts, cur, cur_bytes = [], [], 0
+            for b in blobs:
+                cur.append(b)
+                cur_bytes += len(b)
+                if cur_bytes >= _DECODE_BLOCK:
+                    parts.append(_decode_concat_core(cur))
+                    cur, cur_bytes = [], 0
+            if cur:
+                parts.append(_decode_concat_core(cur))
+            return tuple(
+                np.concatenate([p[i] for p in parts]) for i in range(3)
+            )
+    return _decode_concat_core(blobs)
+
+
+def _decode_concat_core(blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
     vals = varbyte_decode(buf)
     lengths = np.array([len(b) for b in blobs], dtype=np.int64)
