@@ -43,19 +43,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """Three ops intentionally have no entry (driver records rows-only):
-    - minhash_lsh_pairs: the column IS the 128-hash minhash Jaccard
-      ESTIMATE — reproducing it in SQL means evaluating 128 permutation
-      min-hashes per shingle set, and the exact-Jaccard twin is already
-      oracled as minhash_verified_pairs (same pair set, recall 1-5e-8).
-    - simhash_pairs: 64-bit simhash + XOR popcount bands; the signature
-      is a custom bit construction with no DuckDB equivalent — pytest
-      pins planted near-dup recovery and signature determinism.
-    - fingerprints: winnowed rolling-hash (numpy Horner over bytes, mod
-      2^61-1) — byte-level stateful scan, not window-SQL-expressible;
-      pytest pins determinism and shift-invariance.
-    Everything else, including both IVF entries (medoid quantizer) and
-    rerank_search (real word-vector rerank), has a DuckDB twin."""
+    """EVERY queries() entry has a DuckDB twin — including the
+    hash-defined operators (fingerprints, minhash_lsh_pairs,
+    simhash_pairs), whose string hashes are poly_hash_u64 + splitmix64
+    precisely so the full chain (byte polynomial → permutation min /
+    bit votes → banding → scores) is reproducible bit-exactly in
+    HUGEINT SQL (oracle/sql_ops.py).  The only known deviation is the
+    ~2^-64 band-hash collision the engine's LSH grouping admits where
+    the SQL checks segment equality."""
     from searchengine_ray.oracle.sql import search_core_sql
     from searchengine_ray.oracle.sql_ops import ops_sql
 

@@ -5,6 +5,11 @@ workers/processes (no PYTHONHASHSEED dependence):
 
 - ``hash_str_u64``: SipHash-1-3 of utf8 bytes via ``pandas.util.hash_array``
   with the fixed default key — C speed, vectorized over object arrays.
+- ``poly_hash_u64``: splitmix64(Σ byte_j·B^j mod 2^64) over each string's
+  utf8 bytes (B = FNV prime) — zero-copy from Arrow buffers AND exactly
+  reproducible in DuckDB HUGEINT SQL, so every operator whose output is
+  a function of string hashes (minhash, simhash) hashes with THIS and
+  gets a value-exact oracle (SipHash's keyed rounds have no SQL twin).
 - ``splitmix64``: cheap bijective mixer used to combine keys.
 - ``doc_id_i64``: the engine's internal document id,
   ``mix(hash(conv_id) ^ mix(turn_idx)) >> 1`` — the 63-bit truncation
@@ -30,8 +35,10 @@ import zlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
-__all__ = ["splitmix64", "hash_str_u64", "doc_id_i64", "term_shard", "range_shift"]
+__all__ = ["splitmix64", "hash_str_u64", "poly_hash_u64", "doc_id_i64",
+           "term_shard", "range_shift"]
 
 
 def range_shift(n_ranges: int) -> int:
@@ -59,6 +66,50 @@ def hash_str_u64(strings) -> np.ndarray:
     """Stable u64 hash of each string in a sequence/array."""
     arr = np.asarray(strings, dtype=object)
     return pd.util.hash_array(arr, categorize=False).astype(_U64)
+
+
+_POLY_B = _U64(0x100000001B3)  # FNV prime; odd, so invertible mod 2^64
+
+
+def poly_hash_u64(strings) -> np.ndarray:
+    """u64 hash per string: ``splitmix64(Σ byte_j·B^j mod 2^64)`` over
+    the utf8 bytes (j counted from the first byte; empty string → j-sum
+    0).  Vectorized straight from the Arrow string buffers — one
+    power-gather, one multiply, one ``np.add.reduceat`` — and exactly
+    reproducible in DuckDB (reversed-byte Horner in HUGEINT; see
+    oracle/sql_ops.py), which is the whole point: operators hashing with
+    this get value-exact SQL oracles.  Accepts a pyarrow string array
+    (zero-copy) or any iterable of python strings."""
+    if isinstance(strings, pa.ChunkedArray):
+        flat = strings.combine_chunks()
+    elif isinstance(strings, pa.Array):
+        flat = strings
+    else:
+        flat = pa.array(list(strings), pa.string())
+    m = len(flat)
+    if m == 0:
+        return np.empty(0, _U64)
+    off0 = flat.offset
+    odt = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+    offs = np.frombuffer(flat.buffers()[1], dtype=odt)[off0 : off0 + m + 1].astype(np.int64)
+    sums = np.zeros(m, _U64)
+    lens = np.diff(offs)
+    nonempty = np.flatnonzero(lens > 0)
+    if len(nonempty):
+        data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]].astype(_U64)
+        starts = offs[:-1] - offs[0]
+        pos = np.arange(len(data), dtype=np.int64) - np.repeat(starts, lens)
+        maxlen = int(lens.max())
+        bpow = np.empty(maxlen, _U64)
+        bpow[0] = 1
+        with np.errstate(over="ignore"):
+            for j in range(1, maxlen):
+                bpow[j] = bpow[j - 1] * _POLY_B
+            contrib = data * bpow[pos]
+        # starts[nonempty] is strictly increasing with no empty segment,
+        # so reduceat is safe (an empty segment would alias its neighbor)
+        sums[nonempty] = np.add.reduceat(contrib, starts[nonempty])
+    return splitmix64(sums)
 
 
 def doc_id_i64(conv_id, turn_idx) -> np.ndarray:

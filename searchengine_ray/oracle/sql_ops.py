@@ -4,9 +4,9 @@
 Exact twins of the Ray pipelines in pipelines/analysis.py, dedup.py,
 ann.py and stages/multimodal.py — same tokenization, same closed-form
 scores, same explicit rounding, same thresholds.  Operators whose
-semantics are not SQL-expressible (minhash-LSH, simhash, IVF,
-fingerprints) intentionally have no entry here; the driver records a
-rows-only check and pytest covers them against planted ground truth.
+semantics are not SQL-expressible (minhash-LSH, simhash) intentionally
+have no entry here; the driver records a rows-only check and pytest
+covers them against planted ground truth.
 """
 
 from __future__ import annotations
@@ -66,6 +66,229 @@ _IVF_SQL = """
         ORDER BY floor(list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[]))
                        * 1000000 + 0.5) DESC,
                  a.vec_id) <= 10
+"""
+
+
+# --- shared HUGEINT mod-2^64 machinery -----------------------------------
+#
+# The engine's string/window hashes are numpy uint64 arithmetic
+# (wrapping mul/add) finished with splitmix64.  DuckDB reproduces them
+# bit-exactly in HUGEINT: all mod-2^64 reductions are bitwise AND masks
+# (HUGEINT % is ~50× slower than &, measured), and the two ~2^63.6
+# splitmix multipliers are split 32/32 so every intermediate stays
+# inside signed-128-bit range (lo*M + ((hi*M) & (2^32-1)) << 32 < 2^97).
+
+_M64 = "18446744073709551615::HUGEINT"   # 2^64 - 1 (AND mask == mod 2^64)
+_M32 = "4294967295::HUGEINT"             # 2^32 - 1
+_POLY_B = "1099511628211::HUGEINT"       # FNV prime 0x100000001B3
+
+
+def _splitmix_ctes(pre: str, src: str, keys: str) -> str:
+    """CTE chain ``pre1..pre6`` applying splitmix64 to column ``h`` of
+    ``src`` (→ column ``z``), carrying ``keys`` through."""
+    return f"""
+    {pre}1 AS (SELECT {keys}, (h + 11400714819323198485::HUGEINT)
+                              & {_M64} AS z FROM {src}),
+    {pre}2 AS (SELECT {keys}, xor(z, z >> 30) AS z FROM {pre}1),
+    {pre}3 AS (SELECT {keys},
+                  ((z & {_M32}) * 13787848793156543929::HUGEINT
+                   + (((z >> 32) * 13787848793156543929::HUGEINT)
+                      & {_M32}) * 4294967296::HUGEINT)
+                  & {_M64} AS z FROM {pre}2),
+    {pre}4 AS (SELECT {keys}, xor(z, z >> 27) AS z FROM {pre}3),
+    {pre}5 AS (SELECT {keys},
+                  ((z & {_M32}) * 10723151780598845931::HUGEINT
+                   + (((z >> 32) * 10723151780598845931::HUGEINT)
+                      & {_M32}) * 4294967296::HUGEINT)
+                  & {_M64} AS z FROM {pre}4),
+    {pre}6 AS (SELECT {keys}, xor(z, z >> 31) AS z FROM {pre}5)"""
+
+
+# signed int64 reinterpretation of a HUGEINT holding a u64 value
+# (numpy's .view(np.int64) twin)
+def _as_i64(col: str) -> str:
+    return (f"CAST(CASE WHEN {col} >= 9223372036854775808::HUGEINT "
+            f"THEN {col} - 18446744073709551616::HUGEINT "
+            f"ELSE {col} END AS BIGINT)")
+
+
+# utf8 bytes of a VARCHAR as a HUGEINT list, via the hex dump (DuckDB
+# has no BLOB subscript).  strpos on '123456789ABCDEF' returns 0 for
+# the missing '0' digit — exactly its value.
+def _byte_list(hx: str, n: str) -> str:
+    return f"""list_transform(range(1, {n} + 1),
+            i -> CAST(strpos('123456789ABCDEF',
+                             substring({hx}, CAST(2*i - 1 AS BIGINT), 1)) * 16
+                    + strpos('123456789ABCDEF',
+                             substring({hx}, CAST(2*i AS BIGINT), 1)) AS HUGEINT))"""
+
+
+# poly_hash_u64's byte polynomial Σ byte_j·B^j mod 2^64 == Horner over
+# the REVERSED byte list (functions/hashing.py::poly_hash_u64 twin,
+# before the splitmix finalizer).  Empty byte list → 0, guarded with
+# CASE because DuckDB's list_reduce ERRORS on empty input (COALESCE
+# does not catch it).
+def _poly_accum(bs: str) -> str:
+    return (f"CASE WHEN len({bs}) = 0 THEN 0::HUGEINT "
+            f"ELSE list_reduce(list_reverse({bs}), "
+            f"(acc, x) -> (acc * {_POLY_B} + x) & {_M64}) END")
+
+
+# Exact integer twin of pipelines/analysis.py::FingerprintStage — a
+# winnowed rolling fingerprint over the document's utf-8 bytes:
+#   window hash = 16-byte Horner polynomial (FNV base 0x100000001B3)
+#                 mod 2^64, splitmix64-finalized;
+#   fingerprint = min window hash (whole-doc Horner + splitmix for docs
+#                 shorter than one window; 0 for empty docs),
+#   reinterpreted as signed int64 (numpy's .view(np.int64)).
+# NOTE the window Horner is MSB-first (H = (H·B + byte), bytes in
+# order), unlike poly_hash_u64's LSB-first sum — mirror of the numpy.
+_FINGERPRINT_SQL = f"""
+    WITH raw AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents),
+    bytes AS (
+        SELECT doc_id, n, {_byte_list('hx', 'n')} AS bs
+        FROM raw),
+    win AS (
+        SELECT doc_id,
+               list_reduce(bs[CAST(s + 1 AS BIGINT) : CAST(s + 16 AS BIGINT)],
+                           (acc, x) -> (acc * {_POLY_B} + x) & {_M64}) AS h
+        FROM bytes, unnest(range(0, n - 15)) AS t(s)
+        WHERE n >= 16),
+    shorth AS (
+        SELECT doc_id,
+               list_reduce(bs, (acc, x) -> (acc * {_POLY_B} + x) & {_M64}) AS h
+        FROM bytes WHERE n > 0 AND n < 16),
+    allh AS (SELECT doc_id, h FROM win UNION ALL SELECT doc_id, h FROM shorth),
+    {_splitmix_ctes('s', 'allh', 'doc_id').lstrip()},
+    agg AS (SELECT doc_id, min(z) AS m FROM s6 GROUP BY doc_id),
+    withempty AS (
+        SELECT doc_id, m FROM agg
+        UNION ALL
+        SELECT doc_id, 0::HUGEINT AS m FROM bytes WHERE n = 0)
+    SELECT doc_id, {_as_i64('m')} AS fingerprint
+    FROM withempty
+"""
+
+
+# Exact twin of pipelines/dedup.py::simhash_batch + simhash_pairs at
+# the entry defaults (max_hamming=3, unbounded max_block): 64-bit
+# simhash over word unigrams (every occurrence votes ±1 per bit of its
+# poly_hash_u64; votes > 0 set the bit; token-less docs sign 0), pairs
+# at Hamming ≤ 3.  The engine blocks on 16-bit bands before verifying —
+# lossless here by pigeonhole (3 differing bits cannot touch all 4
+# bands), so the all-pairs SQL is value-identical.  bit_count/xor run
+# on the signed-int64 reinterpretation (same bits).
+_SIMHASH_SQL = f"""
+    WITH words AS (SELECT doc_id, {{words}} AS w FROM documents),
+    occ AS (SELECT doc_id, unnest(w) AS tok FROM words),
+    t0 AS (SELECT doc_id,
+            {_poly_accum("list_transform(range(1, length(tok) + 1), "
+                         "i -> CAST(ascii(substring(tok, CAST(i AS BIGINT), 1))"
+                         " AS HUGEINT))")} AS h
+           FROM occ),
+    {_splitmix_ctes('m', 't0', 'doc_id').lstrip()},
+    votes AS (
+        SELECT doc_id, b AS bit,
+               sum(CASE WHEN (z >> b) & 1::HUGEINT = 1 THEN 1 ELSE -1 END) AS v
+        FROM m6, unnest(range(0, 64)) AS t(b)
+        GROUP BY doc_id, b),
+    sigs AS (
+        SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit)
+                                ELSE 0::HUGEINT END) AS s
+        FROM votes GROUP BY doc_id
+        UNION ALL
+        SELECT doc_id, 0::HUGEINT FROM words WHERE len(w) = 0),
+    sb AS (SELECT doc_id, {_as_i64('s')} AS s FROM sigs)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.s, b.s))::BIGINT AS hamming
+    FROM sb a JOIN sb b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
+
+
+def _minhash_perm_values(n_hashes: int = 128, seed: int = 1234) -> str:
+    """The MinHashStage permutation constants (numpy default_rng(seed),
+    same draw order) as a SQL VALUES list ``(i, a, b)``."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**61, size=n_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**61, size=n_hashes, dtype=np.uint64)
+    return ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(n_hashes))
+
+
+# Exact twin of pipelines/dedup.py::minhash_lsh_pairs(verify=True) at
+# the entry defaults (128 hashes / 32 bands of 4, threshold 0.7,
+# shingle 3, unbounded max_block):
+#   shingle = distinct word-3-gram strings (whole original text as the
+#   single shingle when a doc has < 3 tokens);
+#   minhash_i = min over shingles of splitmix64((poly_hash(g)·a_i + b_i)
+#   mod 2^64)  [a_i < 2^61, h < 2^64 → product < 2^125, HUGEINT-safe];
+#   candidates = pairs sharing one FULL band (segment equality — the
+#   engine groups on a chained band hash whose collisions are ~2^-64,
+#   the only, negligible, deviation);
+#   est_jaccard = matching minhashes / 128 (≥ threshold), jaccard = the
+#   verify=True exact string-set Jaccard, both round-half-up 4.
+# MATERIALIZED hints matter: these CTEs are multi-referenced and DuckDB
+# would otherwise inline (re-evaluate) them.
+_MINHASH_SQL_TMPL = f"""
+    WITH words AS (SELECT doc_id, text, {{words}} AS w FROM documents),
+    idx AS (SELECT doc_id, w,
+                   unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS i
+            FROM words),
+    g AS MATERIALIZED (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        FROM idx
+        UNION ALL
+        SELECT doc_id, text AS gram FROM words WHERE len(w) < 3),
+    gdist AS MATERIALIZED (SELECT DISTINCT gram FROM g),
+    gb AS (SELECT gram, hex(encode(gram)) AS hx,
+                  octet_length(encode(gram)) AS nb
+           FROM gdist),
+    gh0 AS (SELECT gram, {_poly_accum(_byte_list('hx', 'nb'))} AS h FROM gb),
+    {_splitmix_ctes('gm', 'gh0', 'gram').lstrip()},
+    perm(i, pa, pb) AS (VALUES {{perm_vals}}),
+    ph0 AS (SELECT gram, i,
+                   (z * pa::HUGEINT + pb::HUGEINT) & {_M64} AS h
+            FROM gm6, perm),
+    {_splitmix_ctes('pm', 'ph0', 'gram, i').lstrip()},
+    sigflat AS MATERIALIZED (
+        SELECT doc_id, i, min(z) AS v
+        FROM g JOIN pm6 USING (gram) GROUP BY doc_id, i),
+    bandkey AS MATERIALIZED (
+        SELECT doc_id, i // 4 AS band,
+               CAST(list(v ORDER BY i) AS VARCHAR) AS key
+        FROM sigflat GROUP BY doc_id, i // 4),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bandkey a JOIN bandkey b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    estt AS (
+        SELECT c.doc_a, c.doc_b,
+               sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 128.0 AS est
+        FROM cand c
+        JOIN sigflat sa ON sa.doc_id = c.doc_a
+        JOIN sigflat sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+        GROUP BY 1, 2),
+    kept AS MATERIALIZED (SELECT doc_a, doc_b, est FROM estt WHERE est >= 0.7),
+    sizes AS MATERIALIZED (
+        SELECT doc_id, count(*)::DOUBLE AS ns FROM g GROUP BY doc_id),
+    inter AS (
+        SELECT k.doc_a, k.doc_b, count(gb2.gram)::DOUBLE AS it
+        FROM kept k
+        LEFT JOIN g ga ON ga.doc_id = k.doc_a
+        LEFT JOIN g gb2 ON gb2.doc_id = k.doc_b AND gb2.gram = ga.gram
+        GROUP BY 1, 2)
+    SELECT k.doc_a, k.doc_b,
+           {{est_round}} AS est_jaccard,
+           {{jac_round}} AS jaccard
+    FROM kept k
+    JOIN inter USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = k.doc_a
+    JOIN sizes sb ON sb.doc_id = k.doc_b
 """
 
 
@@ -144,7 +367,15 @@ def ops_sql() -> dict[str, str]:
                    en_hits, es_hits, de_hits, fr_hits, has_cjk
             FROM t
         """,
+        "fingerprints": _FINGERPRINT_SQL,
         # ---- dedup ------------------------------------------------------
+        "simhash_pairs": _SIMHASH_SQL.format(words=_WORDS),
+        "minhash_lsh_pairs": _MINHASH_SQL_TMPL.format(
+            words=_WORDS,
+            perm_vals=_minhash_perm_values(),
+            est_round=sql_round_half_up("k.est", 4),
+            jac_round=sql_round_half_up("it / (sa.ns + sb.ns - it)", 4),
+        ),
         "dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_copies

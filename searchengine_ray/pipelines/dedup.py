@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import hash_str_u64, splitmix64
+from ..functions.hashing import hash_str_u64, poly_hash_u64, splitmix64
 from ..functions.rounding import round_half_up
 
 logger = logging.getLogger("searchengine_ray.dedup")
@@ -177,38 +177,12 @@ def _grams_at(flat: pa.Array, starts: np.ndarray, n: int) -> pa.Array:
 
 _POLY_B = np.uint64(0x100000001B3)  # FNV prime (odd → invertible mod 2^64)
 
-
-def _token_hashes_bytes(flat: pa.Array) -> np.ndarray:
-    """u64 hash per token computed straight from the Arrow buffers —
-    never boxes a Python string (boxing + object-array siphash measured
-    ~3× the cost of this whole path).  Hash = splitmix64(Σ byte·B^pos)
-    over each token's utf8 bytes: one power-gather, one multiply and one
-    ``np.add.reduceat`` over the concatenated byte stream."""
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    m = len(flat)
-    if m == 0:
-        return np.empty(0, np.uint64)
-    off0 = flat.offset
-    # large_string (int64 offsets) arrives whenever the input text column
-    # was large_string — e.g. a >2 GiB block or a Ray type promotion
-    odt = np.int64 if pa.types.is_large_string(flat.type) else np.int32
-    offs = np.frombuffer(flat.buffers()[1], dtype=odt)[off0 : off0 + m + 1].astype(np.int64)
-    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]].astype(np.uint64)
-    starts = offs[:-1] - offs[0]
-    lens = np.diff(offs)
-    pos = np.arange(len(data), dtype=np.int64) - np.repeat(starts, lens)
-    maxlen = int(lens.max()) if len(lens) else 1
-    bpow = np.empty(maxlen, np.uint64)
-    with np.errstate(over="ignore"):
-        bpow[0] = 1
-        for j in range(1, maxlen):
-            bpow[j] = bpow[j - 1] * _POLY_B
-        contrib = data * bpow[pos]
-        # empty tokens impossible (filtered), so every reduceat segment
-        # is non-empty and starts is strictly increasing
-        sums = np.add.reduceat(contrib, starts) if len(data) else np.zeros(m, np.uint64)
-    return splitmix64(sums)
+# u64 hash per token straight from the Arrow buffers — never boxes a
+# Python string (boxing + object-array siphash measured ~3× the cost of
+# this whole path).  Now lives in functions/hashing.py as poly_hash_u64
+# (splitmix64(Σ byte·B^pos)): the same zero-copy math, shared with the
+# minhash/simhash stages so all three have the same DuckDB-HUGEINT twin.
+_token_hashes_bytes = poly_hash_u64
 
 
 def _gram_hashes(texts, n: int):
@@ -354,7 +328,7 @@ class MinHashStage:
             for off, i in enumerate(ins):
                 gram_list.insert(int(i) + off, texts[int(none[off])])
             counts[none] = 1
-        h = hash_str_u64(gram_list)
+        h = poly_hash_u64(gram_list)
         sig = np.full((n_docs, self.n_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
         with np.errstate(over="ignore"):
             perm = splitmix64(h[:, None] * self.a[None, :] + self.b[None, :])
@@ -547,7 +521,7 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = 0.8, shingle: int = 3
         grams = sorted(
             {" ".join(words[i : i + shingle]) for i in range(len(words) - shingle + 1)}
         )
-        gram_sets[did] = np.unique(hash_str_u64(grams)) if grams else np.empty(0, np.uint64)
+        gram_sets[did] = np.unique(poly_hash_u64(grams)) if grams else np.empty(0, np.uint64)
     sets_ref = ray.put(gram_sets)
 
     def verify(tb: pa.Table) -> pa.Table:
@@ -600,7 +574,7 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
         bounds.append(len(all_words))
     out = np.zeros(len(texts), dtype=np.uint64)
     if all_words:
-        h = hash_str_u64(all_words)
+        h = poly_hash_u64(all_words)
         bits = ((h[:, None] >> _BIT_POS[None, :]) & np.uint64(1)).astype(np.int8)
         contrib = bits * np.int8(2) - np.int8(1)
         starts = np.array(bounds[:-1])

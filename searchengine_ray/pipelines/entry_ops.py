@@ -1,8 +1,9 @@
 """Driver-contract callables for the training-data-pipeline operators.
 
-SQL-checked entries match oracle/sql_ops.py exactly; the rest
-(minhash-LSH, simhash, IVF, fingerprints) are rows-only checks with
-pytest coverage against planted ground truth.
+Every entry matches oracle/sql_ops.py exactly (the minhash / simhash /
+fingerprint hashes are poly_hash_u64 + splitmix64, reproduced in
+HUGEINT SQL); pytest additionally covers the dedup family against
+planted ground truth.
 """
 
 from __future__ import annotations
@@ -54,7 +55,8 @@ def q_ngram_jaccard_pairs(sf_dir: str):
 
 
 def q_minhash_lsh_pairs(sf_dir: str):
-    return dedup.minhash_lsh_pairs(sf_dir, verify=True)
+    # effectively-uncapped blocks: the SQL oracle has no hot-bucket drop
+    return dedup.minhash_lsh_pairs(sf_dir, verify=True, max_block=10**6)
 
 
 def q_minhash_verified_pairs(sf_dir: str):
@@ -63,7 +65,9 @@ def q_minhash_verified_pairs(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
-    return dedup.simhash_pairs(sf_dir)
+    # max_hamming=3 keeps the 16-bit-band blocking lossless (pigeonhole
+    # over 4 bands), so the all-pairs SQL oracle is value-identical
+    return dedup.simhash_pairs(sf_dir, max_block=10**6)
 
 
 def q_ann_cosine_topk(sf_dir: str):
