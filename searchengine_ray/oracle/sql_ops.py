@@ -298,8 +298,10 @@ def ops_sql() -> dict[str, str]:
     # candidates there, the filter is the same exact n-gram Jaccard, and
     # at 128 hashes / 32 bands candidate recall for J≥0.8 is complete
     # (miss probability (1−0.8⁴)³² ≈ 5·10⁻⁸ per pair)
-    ngram_jaccard = f"""
-            WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    # word-3-gram J≥0.8 pair CTEs, shared by ngram_jaccard_pairs /
+    # minhash_verified_pairs (final SELECT below) and the dedup_clusters
+    # recursive closure (which uses the filtered pair set as edges)
+    jpair_ctes = f"""words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
             idx AS (
                 SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS i
                 FROM words),
@@ -310,13 +312,38 @@ def ops_sql() -> dict[str, str]:
             pairs AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS inter
                 FROM g a JOIN g b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-            SELECT doc_a, doc_b,
-                   {sql_round_half_up("inter / (sa.n + sb.n - inter)", 4)} AS jaccard
-            FROM pairs
-            JOIN sizes sa ON sa.doc_id = pairs.doc_a
-            JOIN sizes sb ON sb.doc_id = pairs.doc_b
-            WHERE inter / (sa.n + sb.n - inter) >= 0.8
+                GROUP BY 1, 2),
+            jp AS (
+                SELECT doc_a, doc_b,
+                       inter / (sa.n + sb.n - inter) AS jraw
+                FROM pairs
+                JOIN sizes sa ON sa.doc_id = pairs.doc_a
+                JOIN sizes sb ON sb.doc_id = pairs.doc_b
+                WHERE inter / (sa.n + sb.n - inter) >= 0.8)"""
+    ngram_jaccard = f"""
+            WITH {jpair_ctes}
+            SELECT doc_a, doc_b, {sql_round_half_up("jraw", 4)} AS jaccard
+            FROM jp
+        """
+    # connected components over the J≥0.8 pair graph: recursive
+    # reachability closure (cluster sizes are dup-group-sized, so the
+    # closure is tiny), cluster_id = min reachable doc.  Twin of
+    # dedup.dedup_clusters — parity rests on the same complete-recall
+    # LSH argument as minhash_verified_pairs.
+    dedup_clusters_sql = f"""
+            WITH RECURSIVE {jpair_ctes},
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+                      UNION ALL SELECT doc_b, doc_a FROM jp),
+            walk(doc, reach) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT w.doc, e.b FROM walk w JOIN edges e ON e.a = w.reach),
+            cc AS (SELECT doc, min(reach) AS cluster_id FROM walk GROUP BY doc),
+            cs AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+                   FROM cc GROUP BY 1)
+            SELECT cc.doc AS doc_id, cc.cluster_id, cs.cluster_size,
+                   cc.doc = cc.cluster_id AS keep
+            FROM cc JOIN cs USING (cluster_id)
         """
     quality_raw = (
         "0.5 * least(1.0, n_tokens / 50.0) "
@@ -383,6 +410,29 @@ def ops_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": ngram_jaccard,
         "minhash_verified_pairs": ngram_jaccard,
+        "dedup_clusters": dedup_clusters_sql,
+        # tf·idf keywords: top-5 per doc by tf·log10(N/df); rank ties
+        # break on the shared 1e-6-rounded score then term ascending —
+        # identical keys on the Ray side (analysis.tfidf_keywords)
+        "tfidf_keywords": f"""
+            WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            occ AS (SELECT doc_id, unnest(w) AS term FROM words),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM occ GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                   FROM occ GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+            s AS (SELECT doc_id, term, tf * log10(nd / df) AS score
+                  FROM tf JOIN df USING (term) CROSS JOIN n),
+            r AS (SELECT doc_id, term, score,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY floor(score * 1000000 + 0.5) DESC,
+                                      term) AS rank
+                  FROM s)
+            SELECT doc_id, term, rank::BIGINT AS rank,
+                   {sql_round_half_up("score", 4)} AS score
+            FROM r WHERE rank <= 5
+        """,
         # train/eval contamination: docs sharing any word-8-gram with the
         # eval set (doc_id < 10); n_hits = distinct shared grams
         "decontaminate": f"""

@@ -231,3 +231,112 @@ def fingerprints(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(FingerprintStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction
+# ---------------------------------------------------------------------------
+
+def _doc_term_rows(batch: pa.Table):
+    """Distinct ``(doc_id, term, tf)`` rows of a batch, vectorized:
+    regex split → dictionary-encode → int lexsort → boundary reduce.
+    → (doc_ids int64, terms StringArray, tf int64), grouped by doc."""
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parent, flat = _split_tokens(texts)
+    if not len(parent):
+        return (np.empty(0, np.int64), pa.array([], pa.string()),
+                np.empty(0, np.int64))
+    codes = pc.dictionary_encode(flat)
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    idx = codes.indices.to_numpy()
+    order = np.lexsort((idx, parent))
+    p, c = parent[order], idx[order]
+    first = np.r_[True, (p[1:] != p[:-1]) | (c[1:] != c[:-1])]
+    starts = np.flatnonzero(first)
+    tf = np.diff(np.r_[starts, len(p)]).astype(np.int64)
+    doc_ids = batch["doc_id"].to_numpy()[p[starts]]
+    terms = codes.dictionary.take(pa.array(c[starts], pa.int64()))
+    return doc_ids, terms, tf
+
+
+def _df_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial document frequencies (distinct docs per term
+    within the batch) — the combiner before the tiny term groupby."""
+    _, terms, _ = _doc_term_rows(batch)
+    vc = pc.value_counts(terms)
+    return pa.table(
+        {"term": vc.field("values"), "partial_df": vc.field("counts").cast(pa.int64())}
+    )
+
+
+def tfidf_keywords(sf_dir: str, k: int = 5):
+    """→ (doc_id, term, rank, score): each document's top-``k`` keywords
+    by ``tf · log10(N/df)`` (rank 1 = best; ties broken by the shared
+    1e-6 rounded score then term ascending, so the Ray and SQL sides
+    pick identical rows).
+
+    Two passes, both vectorized: (1) per-batch partial df → one
+    vocabulary-sized ``groupby(term)`` (the same dictionary-scale
+    aggregate as the index build's I6 weight pass) → sorted-vocab df
+    broadcast via the object store; (2) per-batch ``tf·idf`` scoring +
+    per-doc top-k selection inside ``map_batches`` — document text never
+    shuffles, and the only reduce is over the vocabulary, not the
+    corpus."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata count — no scan
+    df_rows = [
+        t
+        for t in ray.get(
+            ds.map_batches(_df_partial, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("partial_df", alias_name="df"))
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not df_rows:
+        return pa.schema(
+            [("doc_id", pa.int64()), ("term", pa.string()),
+             ("rank", pa.int64()), ("score", pa.float64())]
+        ).empty_table()
+    df_tbl = pa.concat_tables(df_rows).sort_by("term")  # sorted ⇒ index = lex rank
+    vocab = df_tbl["term"].combine_chunks()
+    dfv = df_tbl["df"].to_numpy().astype(np.float64)
+    lookup_ref = ray.put((vocab, dfv))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        voc, dfs = ray.get(lookup_ref)
+        doc_ids, terms, tf = _doc_term_rows(batch)
+        if not len(doc_ids):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+                 "rank": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        pos = pc.index_in(terms, value_set=voc).to_numpy(zero_copy_only=False).astype(np.int64)
+        score = tf.astype(np.float64) * np.log10(n_docs / dfs[pos])
+        rounded = np.floor(score * 1_000_000 + 0.5).astype(np.int64)
+        # pos doubles as the lexicographic tie-break (vocab is sorted)
+        order = np.lexsort((pos, -rounded, doc_ids))
+        d = doc_ids[order]
+        newdoc = np.r_[True, d[1:] != d[:-1]]
+        idxs = np.arange(len(d), dtype=np.int64)
+        rank = idxs - np.maximum.accumulate(np.where(newdoc, idxs, 0)) + 1
+        keep = rank <= k
+        sel = order[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[sel], pa.int64()),
+                "term": terms.take(pa.array(sel, pa.int64())),
+                "rank": pa.array(rank[keep], pa.int64()),
+                "score": pa.array(round_half_up(score[sel], 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow")

@@ -663,3 +663,96 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_block: int = 200):
     return _collect_table(
         cand.map_batches(hamming_pairs, batch_format="pyarrow"), out_schema
     ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate clusters (connected components over verified pairs)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.8, shingle: int = 3,
+                   bands: int = 32, max_block: int = 10**6):
+    """→ (doc_id, cluster_id, cluster_size, keep) for EVERY document:
+    connected components of the verified near-dup graph, edges =
+    ``minhash_verified_pairs`` (exact word-``shingle``-gram Jaccard ≥
+    ``threshold`` on LSH-proposed candidates).  ``cluster_id`` = min
+    doc_id in the component; singletons are their own cluster;
+    ``keep`` marks the canonical representative — filtering on it is
+    the standard "drop near-duplicates, keep one per cluster" step.
+
+    Distribution: the edge list comes from the fully distributed
+    LSH+verify pipeline and is candidate-sized by construction (the
+    same bound the verify step already relies on), so the union-find
+    runs on the driver over PAIRS ONLY — O(edges) memory, never
+    O(docs).  The resulting (dup-doc → cluster) map is broadcast via
+    ``ray.put`` and applied as a vectorized searchsorted lookup inside
+    ``map_batches``; the documents table itself never leaves the
+    cluster.  At edge counts that outgrow one machine this becomes a
+    distributed label-propagation loop (iterate groupby-min over the
+    edge Dataset until fixpoint) — same output, more shuffles.
+
+    Oracle note: the SQL twin takes ALL J≥threshold pairs as edges
+    (recursive closure); parity holds because LSH candidate recall at
+    J≥0.8 is complete up to the documented 5·10⁻⁸ band-miss odds —
+    identical to the accepted ``minhash_verified_pairs`` argument."""
+    import ray
+    import ray.data as rd
+
+    pairs = minhash_verified_pairs(
+        sf_dir, threshold=threshold, shingle=shingle, bands=bands, max_block=max_block
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # union by min id
+
+    members: dict[int, list[int]] = {}
+    for x in set(parent) | {v for v in parent.values()}:
+        members.setdefault(find(x), []).append(x)
+    keys, clusters, sizes = [], [], []
+    for root, mem in members.items():
+        mem.append(root) if root not in mem else None
+        mem = sorted(set(mem))
+        for x in mem:
+            keys.append(x)
+            clusters.append(mem[0])
+            sizes.append(len(mem))
+    order = np.argsort(np.asarray(keys, dtype=np.int64)) if keys else np.empty(0, np.int64)
+    lookup_ref = ray.put((
+        np.asarray(keys, dtype=np.int64)[order] if keys else np.empty(0, np.int64),
+        np.asarray(clusters, dtype=np.int64)[order] if keys else np.empty(0, np.int64),
+        np.asarray(sizes, dtype=np.int64)[order] if keys else np.empty(0, np.int64),
+    ))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        k, c, s = ray.get(lookup_ref)
+        ids = t["doc_id"].to_numpy()
+        cluster = ids.copy()
+        size = np.ones(len(ids), dtype=np.int64)
+        if len(k):
+            pos = np.searchsorted(k, ids).clip(0, len(k) - 1)
+            hit = k[pos] == ids
+            cluster[hit] = c[pos[hit]]
+            size[hit] = s[pos[hit]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cluster, pa.int64()),
+                "cluster_size": pa.array(size, pa.int64()),
+                "keep": pa.array(cluster == ids),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

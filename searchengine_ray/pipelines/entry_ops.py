@@ -153,6 +153,14 @@ def q_user_sessions(sf_dir: str):
     return events.user_sessions(sf_dir)
 
 
+def q_tfidf_keywords(sf_dir: str):
+    return analysis.tfidf_keywords(sf_dir, k=5)
+
+
+def q_dedup_clusters(sf_dir: str):
+    return dedup.dedup_clusters(sf_dir, threshold=0.8)
+
+
 OPS_QUERIES = {
     "token_count_by_source": q_token_count_by_source,
     "quality_scores": q_quality_scores,
@@ -163,6 +171,8 @@ OPS_QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "tfidf_keywords": q_tfidf_keywords,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,

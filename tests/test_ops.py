@@ -326,3 +326,67 @@ def test_multimodal_stub(planted_dir):
     assert row.width == row.n_bytes % 640 + 1
     with pytest.raises(NotImplementedError):
         DecodeStage("real")(pa.table({"doc_id": pa.array([1]), "payload": pa.array([b"x"], pa.large_binary())}))
+
+
+def test_dedup_clusters_planted(planted_dir):
+    res = dedup.dedup_clusters(planted_dir, threshold=0.8).to_pandas()
+    assert len(res) == 40 and set(res.doc_id) == set(range(40))
+    by = res.set_index("doc_id")
+    # exact dup pair (1, 2) clusters under min id 1
+    assert by.loc[1].cluster_id == 1 and by.loc[2].cluster_id == 1
+    assert by.loc[1].cluster_size == 2 == by.loc[2].cluster_size
+    assert bool(by.loc[1].keep) and not bool(by.loc[2].keep)
+    # near-dup pair (3, 4) clusters under 3
+    assert by.loc[4].cluster_id == 3 and by.loc[3].cluster_size == 2
+    # everything else is a kept singleton
+    rest = res[~res.doc_id.isin([1, 2, 3, 4])]
+    assert (rest.cluster_id == rest.doc_id).all()
+    assert (rest.cluster_size == 1).all() and rest.keep.all()
+
+
+def test_dedup_clusters_transitive(tmp_path):
+    """a~b and b~c but a!~c directly: one cluster via transitivity."""
+    base = " ".join(f"w{i}" for i in range(40))
+    mid = base.split(); mid[0] = "x0"; mid[1] = "x1"
+    far = mid[:]; far[2] = "y2"; far[3] = "y3"
+    texts = [base, " ".join(mid), " ".join(far), "solo unrelated words here"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["s0"] * 4, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    res = dedup.dedup_clusters(str(tmp_path), threshold=0.8).to_pandas()
+    by = res.set_index("doc_id")
+    assert by.loc[0].cluster_id == by.loc[1].cluster_id == by.loc[2].cluster_id == 0
+    assert by.loc[0].cluster_size == 3
+    assert by.loc[3].cluster_id == 3 and by.loc[3].cluster_size == 1
+
+
+def test_tfidf_keywords_ranks_rare_terms(tmp_path):
+    """A term unique to one doc must outrank corpus-wide terms there."""
+    common = "alpha beta gamma delta"
+    texts = [f"{common} zebra zebra", common, common, common]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["s0"] * 4, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    res = analysis.tfidf_keywords(str(tmp_path), k=2).to_pandas()
+    assert (res.groupby("doc_id")["rank"].max() <= 2).all()
+    top0 = res[(res.doc_id == 0) & (res["rank"] == 1)]
+    assert top0.term.iloc[0] == "zebra"
+    # zebra: tf=2, df=1 -> 2*log10(4); any common term: tf=1, df=4 -> 0
+    assert abs(float(top0.score.iloc[0]) - 2 * np.log10(4)) < 1e-3
+    # docs of only corpus-wide terms still emit k rows (score 0, term-asc ties)
+    d1 = res[res.doc_id == 1].sort_values("rank")
+    assert list(d1.term) == ["alpha", "beta"]
