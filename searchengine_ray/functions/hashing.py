@@ -103,8 +103,12 @@ def poly_hash_u64(strings) -> np.ndarray:
         bpow = np.empty(maxlen, _U64)
         bpow[0] = 1
         with np.errstate(over="ignore"):
-            for j in range(1, maxlen):
-                bpow[j] = bpow[j - 1] * _POLY_B
+            if maxlen > 1:
+                # wrapping cumprod (mod 2^64) — a scalar loop here costs
+                # O(longest string) interpreted steps per call, which the
+                # whole-text fallback shingles of token-poor documents
+                # would turn into megabyte-long loops
+                np.cumprod(np.full(maxlen - 1, _POLY_B, _U64), out=bpow[1:])
             contrib = data * bpow[pos]
         # starts[nonempty] is strictly increasing with no empty segment,
         # so reduceat is safe (an empty segment would alias its neighbor)

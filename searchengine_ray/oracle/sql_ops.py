@@ -313,7 +313,7 @@ def ops_sql() -> dict[str, str]:
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS inter
                 FROM g a JOIN g b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
                 GROUP BY 1, 2),
-            jp AS (
+            jp AS MATERIALIZED (
                 SELECT doc_a, doc_b,
                        inter / (sa.n + sb.n - inter) AS jraw
                 FROM pairs
@@ -332,8 +332,9 @@ def ops_sql() -> dict[str, str]:
     # LSH argument as minhash_verified_pairs.
     dedup_clusters_sql = f"""
             WITH RECURSIVE {jpair_ctes},
-            edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
-                      UNION ALL SELECT doc_b, doc_a FROM jp),
+            edges AS MATERIALIZED (
+                SELECT doc_a AS a, doc_b AS b FROM jp
+                UNION ALL SELECT doc_b, doc_a FROM jp),
             walk(doc, reach) AS (
                 SELECT doc_id, doc_id FROM documents
                 UNION

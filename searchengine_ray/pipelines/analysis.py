@@ -240,7 +240,10 @@ def fingerprints(sf_dir: str):
 def _doc_term_rows(batch: pa.Table):
     """Distinct ``(doc_id, term, tf)`` rows of a batch, vectorized:
     regex split → dictionary-encode → int lexsort → boundary reduce.
-    → (doc_ids int64, terms StringArray, tf int64), grouped by doc."""
+    → (doc_ids int64, terms StringArray, tf int64), grouped by doc.
+    (Same boundary trick as ``dedup._distinct_rows``, which returns
+    first-occurrence indices only — this one also needs the segment
+    lengths for tf, hence the local diff over starts.)"""
     texts = batch["text"]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()

@@ -351,9 +351,13 @@ class MinHashStage:
 
 
 def _simple_words(text: str) -> list[str]:
-    import re
-
-    return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+    """Tokens of ONE string via the same Arrow kernels as the batch path.
+    NOT python ``str.lower()``: its full Unicode case mapping diverges
+    from Arrow/DuckDB simple mapping (e.g. U+0130 'İ'.lower() adds a
+    combining dot that the split turns into an extra token), which would
+    break the bit-exact SQL-oracle contract on non-ASCII text."""
+    flat, _ = _flat_tokens(pa.array([text], pa.string()))
+    return flat.to_pylist()
 
 
 def _lsh_candidates(sigs, bands: int, max_block: int, n_hashes: int = 128):
@@ -418,9 +422,14 @@ def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
     out_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard", pa.float64())]
     )
+    # the schema must not depend on how many pairs survive — empty and
+    # non-empty results alike carry the jaccard column when verify=True
+    full_schema = (
+        out_schema.append(pa.field("jaccard", pa.float64())) if verify else out_schema
+    )
     needed = sorted(set(cand.unique("doc_a")) | set(cand.unique("doc_b")))
     if not needed:
-        return out_schema.empty_table()
+        return full_schema.empty_table()
 
     sig_tbl = _rows_for_ids(sigs, needed, pa.schema(
         [("doc_id", pa.int64()), ("n_shingles", pa.int64()), ("signature", pa.list_(pa.int64()))]
@@ -449,7 +458,9 @@ def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
         cand.map_batches(score_pairs, batch_format="pyarrow"), out_schema
     ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
-    if verify and result.num_rows:
+    if verify and not result.num_rows:
+        return full_schema.empty_table()
+    if verify:
         import pyarrow.dataset as pads
 
         doc_a = result["doc_a"].to_pylist()
@@ -565,20 +576,23 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
 
     Every token occurrence votes ±1 per bit (tf weighting = summing
     per-occurrence contributions); votes reduced per doc with
-    ``np.add.reduceat`` and bit-packed with a shift-sum, no Python loop
-    beyond tokenization."""
-    texts = batch["text"].to_pylist()
-    all_words, bounds = [], [0]
-    for t in texts:
-        all_words.extend(_simple_words(t))
-        bounds.append(len(all_words))
-    out = np.zeros(len(texts), dtype=np.uint64)
-    if all_words:
-        h = poly_hash_u64(all_words)
+    ``np.add.reduceat`` and bit-packed with a shift-sum.  Tokenization
+    runs the whole batch through the Arrow kernels (``_flat_tokens``),
+    never python ``str.lower()`` — keeps the SQL-oracle case-mapping
+    parity AND drops the former per-text loop."""
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = batch.num_rows
+    flat, parent = _flat_tokens(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(parent):
+        h = poly_hash_u64(flat)
         bits = ((h[:, None] >> _BIT_POS[None, :]) & np.uint64(1)).astype(np.int8)
         contrib = bits * np.int8(2) - np.int8(1)
-        starts = np.array(bounds[:-1])
-        nonempty = np.flatnonzero(np.diff(bounds) > 0)
+        counts = np.bincount(parent, minlength=n)
+        starts = np.r_[0, np.cumsum(counts)][:-1]
+        nonempty = np.flatnonzero(counts > 0)
         votes = np.add.reduceat(contrib, starts[nonempty], axis=0, dtype=np.int64)
         sig = ((votes > 0).astype(np.uint64) << _BIT_POS[None, :]).sum(axis=1, dtype=np.uint64)
         out[nonempty] = sig
@@ -716,13 +730,14 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, shingle: int = 3,
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)  # union by min id
 
+    # every node of the pair graph appears as a parent key or value, and
+    # each is appended exactly once — roots included (find(root) == root)
     members: dict[int, list[int]] = {}
-    for x in set(parent) | {v for v in parent.values()}:
+    for x in set(parent) | set(parent.values()):
         members.setdefault(find(x), []).append(x)
     keys, clusters, sizes = [], [], []
-    for root, mem in members.items():
-        mem.append(root) if root not in mem else None
-        mem = sorted(set(mem))
+    for mem in members.values():
+        mem.sort()
         for x in mem:
             keys.append(x)
             clusters.append(mem[0])

@@ -390,3 +390,49 @@ def test_tfidf_keywords_ranks_rare_terms(tmp_path):
     # docs of only corpus-wide terms still emit k rows (score 0, term-asc ties)
     d1 = res[res.doc_id == 1].sort_values("rank")
     assert list(d1.term) == ["alpha", "beta"]
+
+
+def test_dedup_family_unicode_case_parity(tmp_path):
+    """U+0130 regression: python str.lower() expands 'İ' to 'i'+combining
+    dot (full Unicode mapping) while Arrow/DuckDB use the simple mapping.
+    The whole dedup family must tokenize via the Arrow kernels so engine
+    output stays bit-exact against the HUGEINT SQL oracles on such text."""
+    import duckdb
+    from searchengine_ray.oracle.sql_ops import ops_sql
+
+    texts = ["İstanbul visit İstanbul tour plan",
+             "İstanbul visit İstanbul tour plans",
+             "a completely different document here",
+             "İstanbul visit İstanbul tour plan"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["tr"] * 4, pa.string()),
+            "source": pa.array(["s0"] * 4, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    sqls = ops_sql()
+    for name, fn in [
+        ("simhash_pairs", lambda: dedup.simhash_pairs(str(tmp_path), max_block=10**6)),
+        ("minhash_lsh_pairs", lambda: dedup.minhash_lsh_pairs(str(tmp_path), verify=True, max_block=10**6)),
+        ("dedup_clusters", lambda: dedup.dedup_clusters(str(tmp_path), threshold=0.8)),
+        ("fingerprints", lambda: analysis.fingerprints(str(tmp_path))),
+        ("tfidf_keywords", lambda: analysis.tfidf_keywords(str(tmp_path), k=5)),
+    ]:
+        r = fn()
+        r = (r.to_pandas() if hasattr(r, "to_pandas") else r.to_pandas())
+        o = con.execute(sqls[name]).fetchdf()
+        r = r[sorted(r.columns)].sort_values(sorted(r.columns)).reset_index(drop=True)
+        o = o[sorted(o.columns)].sort_values(sorted(o.columns)).reset_index(drop=True)
+        assert list(r.columns) == list(o.columns), name
+        assert len(r) == len(o), (name, len(r), len(o))
+        for c in r.columns:
+            if str(r[c].dtype).startswith("float"):
+                assert np.allclose(r[c], o[c], rtol=0, atol=1e-9), (name, c)
+            else:
+                assert (r[c].astype(str).values == o[c].astype(str).values).all(), (name, c)
