@@ -27,25 +27,10 @@ _MAX_GROUPS = 10  # ceil(64 / 7)
 
 
 def varbyte_encode(values: np.ndarray) -> np.ndarray:
-    """Encode a u64 array to a uint8 varbyte stream."""
-    v = np.ascontiguousarray(values, dtype=_U64)
-    if v.size == 0:
-        return np.empty(0, dtype=np.uint8)
-    ngroups = np.ones(v.size, dtype=np.int64)
-    for k in range(1, _MAX_GROUPS):
-        ngroups += (v >= _U64(1) << _U64(7 * k)).astype(np.int64)
-    ends = np.cumsum(ngroups)
-    starts = ends - ngroups
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    for j in range(_MAX_GROUPS):
-        mask = ngroups > j
-        if not mask.any():
-            break
-        byte = ((v[mask] >> _U64(7 * j)) & _U64(0x7F)).astype(np.uint8)
-        cont = (ngroups[mask] - 1) > j
-        byte[cont] |= 0x80
-        out[starts[mask] + j] = byte
-    return out
+    """Encode a u64 array to a uint8 varbyte stream (the byte layout is
+    owned by ``_vb_encode_counted`` — ONE encoder, so the bit-identical
+    contract between the scalar and segmented paths cannot drift)."""
+    return _vb_encode_counted(values)[0]
 
 
 def _vb_decode_core(b: np.ndarray) -> np.ndarray:

@@ -319,16 +319,18 @@ class MinHashStage:
         keep = _distinct_rows(parents, grams)
         par_d = parents[keep]  # contiguous by doc (lexsort major key)
         counts = np.bincount(par_d, minlength=n_docs)
-        gram_list = grams.take(pa.array(keep, pa.int64())).to_pylist()
+        # hash straight off the Arrow array (no python boxing), then
+        # splice the whole-text fallback HASHES in with one vectorized
+        # np.insert — a python list.insert loop here is O(fallbacks ×
+        # total grams) on short-turn-heavy batches
+        h = poly_hash_u64(grams.take(pa.array(keep, pa.int64())))
         none = np.flatnonzero(counts == 0)
         if len(none):
-            # splice whole-text fallbacks into doc order
             ins = np.searchsorted(par_d, none)
+            hf = poly_hash_u64([texts[int(i)] for i in none])
+            h = np.insert(h, ins, hf)
             par_d = np.insert(par_d, ins, none)
-            for off, i in enumerate(ins):
-                gram_list.insert(int(i) + off, texts[int(none[off])])
             counts[none] = 1
-        h = poly_hash_u64(gram_list)
         sig = np.full((n_docs, self.n_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
         with np.errstate(over="ignore"):
             perm = splitmix64(h[:, None] * self.a[None, :] + self.b[None, :])

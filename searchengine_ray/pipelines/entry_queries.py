@@ -200,7 +200,8 @@ def q_rerank_search(sf_dir: str) -> pa.Table:
                             store_float64=True)
         with open(marker, "w") as f:
             f.write("1")
-    tv = load_word_vectors(path)
+    else:
+        tv = load_word_vectors(path)
     res = eng.search(SEARCH_QUERY_TEXT, k=20)
     return _round_score(rerank_by_embedding(
         eng, res, SEARCH_QUERY_TEXT, vectors=tv, vectors_dir="doc_vectors_real"

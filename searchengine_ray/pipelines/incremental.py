@@ -255,7 +255,10 @@ def merge_segment_dictionaries(dirs: list[str],
     if total <= driver_cap:
         tbl = pa.concat_tables([s.to_table(columns=["term", "df"]) for s in sets])
         out = tbl.group_by("term").aggregate([("df", "sum")])
-        out = out.rename_columns(["term", "df"])
+        # select by NAME: TableGroupBy.aggregate's key/aggregate column
+        # order has changed across pyarrow majors — a positional rename
+        # would silently swap term and df
+        out = pa.table({"term": out["term"], "df": out["df_sum"]})
     else:
         import ray
         import ray.data as rd

@@ -280,7 +280,9 @@ class IndexReader:
             with self._cache_lock:
                 for ci, p in decoded.items():
                     self._cache_put(t, ci, p)
-        self.stats["chunks_decoded"] += n
+        # += is a read-modify-write: same locking rule as postings()
+        with self._cache_lock:
+            self.stats["chunks_decoded"] += n
         return n
 
     # -- compacted-shard point reads --------------------------------------
@@ -425,32 +427,33 @@ class IndexReader:
         scan is consumed batch-by-batch so peak transient memory is one
         record batch, never the whole postings table; retained memory is
         bounded by the LRU budget as usual.  Returns chunks decoded."""
-        want = set(self._cold_terms(self._dict if terms is None else terms))
+        if terms is not None:
+            # the targeted warmup IS the query-path batched fetch — one
+            # code path, so fetch fixes (locking, columns, legacy
+            # fallback) can never diverge between warmup and query time
+            return self.fetch_terms(terms)
+        want = set(self._cold_terms(self._dict))
         if not want:
             return 0
-        # one pass PER SHARD: a term's chunks all live in its crc32 shard,
-        # so per-shard processing is complete for every term it covers and
-        # peak transient memory is one shard's table, not the whole index
+        # whole-dictionary warmup: one pass PER SHARD reading the full
+        # compacted file (cheaper than per-term point reads when every
+        # term is wanted), so peak transient memory is one shard's table
         by_shard: dict[int, list[str]] = {}
         for t in want:
             by_shard.setdefault(self._dict[t][2], []).append(t)
         n = 0
         cols = ["term", "chunk_idx", "doc_min", "doc_max", "max_ntf", "run"]
-        for shard, shard_terms in sorted(by_shard.items()):
+        for shard, _shard_terms in sorted(by_shard.items()):
             ent = self._compact_entry(shard)
-            if ent is not None and terms is None:
+            if ent is not None:
                 with self._pf_lock:
                     tbl = ent[0].read(columns=cols)
-            elif ent is not None:
-                tbl = self._point_read(shard, shard_terms, cols)
             else:
-                flt = pads.field("shard") == shard
-                if terms is not None:
-                    flt = flt & pads.field("term").isin(sorted(shard_terms))
-                tbl = self._postings_ds.to_table(columns=cols, filter=flt)
-            if terms is None and len(want) < len(self._dict):
-                # whole-dictionary warmup over a partially warm reader:
-                # drop rows of already-resident terms before ingesting
+                tbl = self._postings_ds.to_table(
+                    columns=cols, filter=pads.field("shard") == shard
+                )
+            if len(want) < len(self._dict):
+                # partially warm reader: drop rows of resident terms
                 keep = [i for i, t in enumerate(tbl["term"].to_pylist()) if t in want]
                 tbl = tbl.take(pa.array(keep, pa.int64()))
             n += self._ingest_chunk_rows(tbl)
