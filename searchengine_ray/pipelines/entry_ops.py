@@ -121,8 +121,17 @@ def q_curation(sf_dir: str):
 
 def q_decontaminate(sf_dir: str):
     from . import curation
+    from .dedup import _collect_table
 
-    return curation.decontaminate(sf_dir, eval_max_id=10, n=8)
+    # collect with an EXPLICIT schema: the contamination report is tiny
+    # by construction, and a Dataset whose blocks are all empty loses
+    # its schema through to_pandas() (observed at sf0.1, where no doc
+    # shares an 8-gram with the eval slice) — the driver compare needs
+    # (doc_id, n_hits) either way
+    return _collect_table(
+        curation.decontaminate(sf_dir, eval_max_id=10, n=8),
+        pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())]),
+    )
 
 
 def q_multimodal_meta(sf_dir: str):

@@ -237,13 +237,28 @@ def q_embedding_rerank_topk(sf_dir: str) -> pa.Table:
         emb["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
         .astype(np.float64).reshape(-1, dim)
     )
+    # the embeddings table may cover only a prefix of the doc space
+    # (sf0.1 ships 2000 vectors for 5000 docs): mirror the oracle's
+    # INNER JOIN — drop turns without a vector, empty result if the #1
+    # hit itself has none (the SQL's qv CTE comes up empty)
     order = np.argsort(ids)
-    pos = order[np.searchsorted(ids[order], src)]
-    m = mat[pos]
+    ids_sorted = ids[order]
+    at = np.searchsorted(ids_sorted, src).clip(0, len(ids_sorted) - 1)
+    have = ids_sorted[at] == src
+    if not have[0]:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "turn_idx": pa.array([], pa.int32()),
+                         "cos": pa.array([], pa.float64())})
+    qrow = mat[order[at[0]]]
+    keep = np.flatnonzero(have)
+    conv = [conv[i] for i in keep]
+    turn = turn[keep]
+    m = mat[order[at[keep]]]
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0
     mn = m / norms[:, None]
-    cos = mn @ mn[0]
+    qn = qrow / (np.linalg.norm(qrow) or 1.0)
+    cos = mn @ qn
     key = np.floor(cos * 1e6 + 0.5)
     top = np.lexsort((turn, np.asarray(conv, dtype=object), -key))[:10]
     return pa.table(
