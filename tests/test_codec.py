@@ -223,3 +223,44 @@ def test_merge_range_table_matches_groupwise(tmp_path):
         want_d = _groupwise_merge(runs_tbl, markers, 5, 8, 4,
                                   rangemap_dir=str(rm_dir), range_offsets=offsets)
         assert _sorted_chunks(got_d).equals(_sorted_chunks(want_d)), f"seed={seed} dense"
+
+
+def test_cache_blocked_paths_match_unblocked():
+    from searchengine_ray.functions import codec
+    """The 256 KiB decode blocks and 64k-value encode blocks must be
+    bit-invisible: outputs across the block thresholds equal the
+    single-block core's (regression for the cache-blocking commit; the
+    hypothesis properties above never generate megabyte inputs)."""
+    rng = np.random.default_rng(7)
+    # > _DECODE_BLOCK bytes of varbyte: mixed magnitudes so group sizes
+    # vary and block splits land mid-group without the boundary walk
+    vals = rng.integers(0, 2**63, size=200_000, dtype=np.uint64)
+    vals[::3] = rng.integers(0, 128, size=len(vals[::3]), dtype=np.uint64)
+    buf = codec.varbyte_encode(vals)
+    assert buf.nbytes > (1 << 18)
+    out = codec.varbyte_decode(buf)
+    assert (out == vals).all()
+    core = codec._vb_decode_core(buf)
+    assert (core == out).all()
+
+    # > _ENCODE_BLOCK_VALUES postings across many segments, plus one
+    # single segment larger than the block (must stay whole)
+    n_seg, seg = 700, 120  # 84k values > 1<<16
+    doc_ids = np.arange(n_seg * seg, dtype=np.uint64)
+    tfs = rng.integers(1, 50, size=n_seg * seg, dtype=np.uint64)
+    lens = rng.integers(1, 400, size=n_seg * seg, dtype=np.uint64)
+    bounds = np.arange(0, n_seg * seg + 1, seg, dtype=np.int64)
+    blobs = codec.encode_postings_segments(doc_ids, tfs, lens, bounds)
+    for i in (0, n_seg // 2, n_seg - 1):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        want = codec.encode_postings(doc_ids[s:e], tfs[s:e], lens[s:e])
+        assert blobs[i].as_py() == want, i
+    one = codec.encode_postings_segments(
+        doc_ids, tfs, lens, np.array([0, n_seg * seg], dtype=np.int64))
+    assert one[0].as_py() == codec.encode_postings(doc_ids, tfs, lens)
+
+    # blocked decode_postings_concat over many blobs > _DECODE_BLOCK
+    d, t, l = codec.decode_postings_concat([b.as_py() for b in blobs])
+    assert (d == doc_ids.astype(np.int64)).all()
+    assert (t == tfs.astype(np.int64)).all()
+    assert (l == lens.astype(np.int64)).all()
