@@ -292,6 +292,20 @@ _MINHASH_SQL_TMPL = f"""
 """
 
 
+def _redact_sql() -> str:
+    """Chained regexp_replace twin of curation.redact_batch: counts are
+    taken on the text as it stands BEFORE each replacement (same order),
+    and both sides compile the same patterns with RE2."""
+    from ..pipelines.curation import PII_PATTERNS
+
+    cols, expr = [], "text"
+    for name, pat, rep in PII_PATTERNS:
+        cols.append(f"length(regexp_extract_all({expr}, '{pat}'))::BIGINT AS {name}")
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return (f"SELECT doc_id, {expr} AS clean_text, " + ", ".join(cols)
+            + " FROM documents")
+
+
 def ops_sql() -> dict[str, str]:
     r4 = sql_round_half_up
     # minhash_verified_pairs shares this oracle: LSH only PROPOSES
@@ -396,6 +410,7 @@ def ops_sql() -> dict[str, str]:
             FROM t
         """,
         "fingerprints": _FINGERPRINT_SQL,
+        "redact_pii": _redact_sql(),
         # ---- dedup ------------------------------------------------------
         "simhash_pairs": _SIMHASH_SQL.format(words=_WORDS),
         "minhash_lsh_pairs": _MINHASH_SQL_TMPL.format(

@@ -145,3 +145,49 @@ def curate(sf_dir: str, langs=("en",), min_quality: float = 0.55):
         )
 
     return kept.map_batches(flt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Applied IN ORDER (emails may occur inside URLs; identical order on the
+# SQL side makes overlap behavior irrelevant for parity).  Both Arrow
+# and DuckDB compile these with RE2, so match semantics are identical.
+PII_PATTERNS = (
+    ("n_emails", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_urls", r"https?://[^\s]+", "<URL>"),
+    ("n_longnums", r"[0-9]{9,}", "<NUM>"),
+)
+
+
+def redact_batch(batch: pa.Table) -> pa.Table:
+    """→ (doc_id, clean_text, n_emails, n_urls, n_longnums): PII-class
+    spans replaced by typed placeholders, with per-doc match counts
+    (counted BEFORE each replacement, like the SQL twin).  Fully
+    vectorized: one ``count_substring_regex`` + one
+    ``replace_substring_regex`` per pattern over the whole batch."""
+    import pyarrow.compute as pc
+
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    cols: dict[str, pa.Array] = {"doc_id": batch["doc_id"]}
+    counts = {}
+    for name, pat, rep in PII_PATTERNS:
+        counts[name] = pc.count_substring_regex(text, pat).cast(pa.int64())
+        text = pc.replace_substring_regex(text, pat, rep)
+    cols["clean_text"] = text
+    cols.update(counts)
+    return pa.table(cols)
+
+
+def redact_pii(sf_dir: str):
+    """PII-redaction pass over the documents table — the standard
+    pre-training cleanup step (emails, URLs, long digit runs → typed
+    placeholders).  Stateless ``map_batches``; nothing shuffles, and at
+    100 TB this is a pure streaming read → transform → write."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(redact_batch, batch_format="pyarrow")

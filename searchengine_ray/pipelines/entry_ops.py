@@ -170,6 +170,12 @@ def q_dedup_clusters(sf_dir: str):
     return dedup.dedup_clusters(sf_dir, threshold=0.8)
 
 
+def q_redact_pii(sf_dir: str):
+    from . import curation
+
+    return curation.redact_pii(sf_dir)
+
+
 OPS_QUERIES = {
     "token_count_by_source": q_token_count_by_source,
     "quality_scores": q_quality_scores,
@@ -182,6 +188,7 @@ OPS_QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "tfidf_keywords": q_tfidf_keywords,
+    "redact_pii": q_redact_pii,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,

@@ -436,3 +436,41 @@ def test_dedup_family_unicode_case_parity(tmp_path):
                 assert np.allclose(r[c], o[c], rtol=0, atol=1e-9), (name, c)
             else:
                 assert (r[c].astype(str).values == o[c].astype(str).values).all(), (name, c)
+
+
+def test_redact_pii_planted(tmp_path):
+    """Planted PII: counts and placeholders must match the chained-regex
+    SQL twin exactly (the synthetic corpora contain no PII, so the
+    replacement paths are only exercised here)."""
+    import duckdb
+    from searchengine_ray.pipelines import curation
+    from searchengine_ray.oracle.sql_ops import ops_sql
+
+    texts = [
+        "reach me at jane.doe+spam@mail.example.org or https://ex.am/p?q=1 thanks",
+        "ids 123456789 and 98765432101 but keep 12345678",
+        "two mails a@b.co c@d.io one url http://h.tld/x",
+        "clean document with nothing to hide",
+        "",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    res = curation.redact_pii(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert res.loc[0, "clean_text"] == "reach me at <EMAIL> or <URL> thanks"
+    assert res.loc[0, "n_emails"] == 1 and res.loc[0, "n_urls"] == 1
+    assert res.loc[1, "clean_text"] == "ids <NUM> and <NUM> but keep 12345678"
+    assert res.loc[1, "n_longnums"] == 2
+    assert res.loc[2, "n_emails"] == 2 and res.loc[2, "n_urls"] == 1
+    assert res.loc[3, "clean_text"] == texts[3]
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    ora = con.execute(ops_sql()["redact_pii"]).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    assert res[sorted(res.columns)].equals(ora[sorted(ora.columns)])
