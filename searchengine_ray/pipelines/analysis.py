@@ -45,6 +45,20 @@ def _per_row_hits(parent, flat, n_rows, wordset) -> np.ndarray:
     return out
 
 
+def row_token_counts(batch: pa.Table) -> np.ndarray:
+    """n_tokens per row — THE token-count definition every SQL twin
+    mirrors (``len(_WORDS)``).  ``pack_sequences`` counts through this;
+    ``token_stats_batch`` computes the same count inline because it
+    also needs the flat tokens for stopword hits."""
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parent, _ = _split_tokens(texts)
+    n_tokens = np.zeros(batch.num_rows, dtype=np.int64)
+    np.add.at(n_tokens, parent, 1)
+    return n_tokens
+
+
 def token_stats_batch(batch: pa.Table) -> pa.Table:
     """Per-doc raw token count + stopword hits (quality inputs)."""
     texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]

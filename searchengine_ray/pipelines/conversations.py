@@ -16,27 +16,50 @@ from ..sources.transcripts import transcripts_from_documents
 
 
 def _conv_stats_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch partial per-conversation aggregates."""
-    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
-    role = batch["role"].to_numpy(zero_copy_only=False)
+    """Per-batch partial per-conversation aggregates.  Grouping runs on
+    int dictionary codes (one lexsort over int64), never on boxed
+    strings — the object-dtype argsort/unique this replaces does a
+    python string compare per element (events.py measured that pattern
+    5.3× slower); conv_id strings are materialized O(groups) from the
+    dictionary.  Role flags compare on codes too."""
     import pyarrow.compute as pc
 
+    conv_col = batch["conv_id"]
+    if isinstance(conv_col, pa.ChunkedArray):
+        conv_col = conv_col.combine_chunks()
+    enc = conv_col.dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    role_col = batch["role"]
+    if isinstance(role_col, pa.ChunkedArray):
+        role_col = role_col.combine_chunks()
+    renc = role_col.dictionary_encode()
+    rcodes = renc.indices.to_numpy().astype(np.int64)
+    rdict = renc.dictionary.to_pylist()
+    rcode_of = {r: i for i, r in enumerate(rdict)}
     n_chars = pc.utf8_length(batch["text"]).to_numpy().astype(np.int64)
-    order = np.argsort(conv, kind="stable")
-    conv, role, n_chars = conv[order], role[order], n_chars[order]
-    uniq, starts = np.unique(conv, return_index=True)
-    seg = np.append(starts, len(conv))
+    order = np.argsort(codes, kind="stable")
+    codes, rcodes, n_chars = codes[order], rcodes[order], n_chars[order]
+    first = np.r_[True, codes[1:] != codes[:-1]]
+    starts = np.flatnonzero(first)
+    seg = np.append(starts, len(codes))
+    uniq = enc.dictionary.take(pa.array(codes[starts], pa.int64()))
+
+    def role_count(name: str) -> np.ndarray:
+        code = rcode_of.get(name)
+        if code is None:
+            return np.zeros(len(starts), dtype=np.int64)
+        return np.add.reduceat((rcodes == code).astype(np.int64), starts)
+
     out = {
-        "conv_id": uniq,
         "n_turns": np.diff(seg),
-        "n_user": np.add.reduceat((role == "user").astype(np.int64), starts),
-        "n_assistant": np.add.reduceat((role == "assistant").astype(np.int64), starts),
-        "n_tool": np.add.reduceat((role == "tool").astype(np.int64), starts),
+        "n_user": role_count("user"),
+        "n_assistant": role_count("assistant"),
+        "n_tool": role_count("tool"),
         "total_chars": np.add.reduceat(n_chars, starts),
     }
     return pa.table(
         {
-            "conv_id": pa.array(out["conv_id"], pa.string()),
+            "conv_id": uniq.cast(pa.string()),
             **{
                 k: pa.array(out[k].astype(np.int64), pa.int64())
                 for k in ("n_turns", "n_user", "n_assistant", "n_tool", "total_chars")

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..functions.rounding import round_half_up
 
@@ -46,10 +45,11 @@ def _window_partial(batch: pa.Table) -> pa.Table:
     c, w, win_s, val_s = codes[order], wi[order], win[order], val[order]
     first = np.r_[True, (c[1:] != c[:-1]) | (w[1:] != w[:-1])]
     starts = np.flatnonzero(first)
-    et_np = et.to_numpy(zero_copy_only=False)[order]
+    # O(groups) strings via the dictionary, not O(rows) boxed values
+    et_groups = enc.dictionary.take(pa.array(c[starts], pa.int64()))
     return pa.table(
         {
-            "event_type": pa.array(et_np[starts], pa.string()),
+            "event_type": et_groups.cast(pa.string()),
             "window_start": pa.array(win_s[starts], pa.int64()),
             "n": pa.array(np.diff(np.append(starts, len(c))).astype(np.int64)),
             "sum_value": pa.array(np.add.reduceat(val_s, starts), pa.float64()),

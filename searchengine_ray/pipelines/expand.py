@@ -78,12 +78,23 @@ def load_word_vectors(path: str, max_words: int = 100_000) -> TextWordVectors:
     and ``rerank_by_embedding``."""
     vocab: dict[str, int] = {}
     rows = []
+    dim = None
     with open(path) as f:
         for line in f:
             if len(rows) >= max_words:
                 break
-            values = line.split(" ")
+            # split() (not split(" ")): trailing spaces / tabs otherwise
+            # produce empty tokens that crash the float parse.  Rows of
+            # the wrong width are skipped — this also ignores the
+            # "n_words dim" header line fastText-format files start with
+            values = line.split()
             if len(values) < 2:
+                continue
+            if not rows and len(values) == 2 and all(v.isdigit() for v in values):
+                continue  # fastText-style "n_words dim" header line
+            if dim is None:
+                dim = len(values) - 1
+            if len(values) - 1 != dim:
                 continue
             word = values[0]
             if word in vocab:
@@ -178,8 +189,21 @@ class EmbeddingKNNExpansion:
             d = np.linalg.norm(vmat - qmat[i], axis=1)
             added = 0
             # nearest neighbours excluding the term itself, capped at k
-            # new terms even when the term is out-of-vocabulary
-            for j in np.argsort(d, kind="stable"):
+            # new terms even when the term is out-of-vocabulary.
+            # argpartition to the k+2 head (the loop consumes at most
+            # k + the excluded self-forms) widened to ALL elements tied
+            # with the boundary distance, then an index-stable sort of
+            # that small set — O(V) instead of a full O(V log V) argsort
+            # per query term on the serving hot path, and byte-identical
+            # to the stable argsort it replaces (boundary ties included)
+            head = min(self.k + 2, len(d))
+            if head < len(d):
+                part = np.argpartition(d, head - 1)[:head]
+                cand_idx = np.flatnonzero(d <= d[part].max())
+            else:
+                cand_idx = np.arange(len(d))
+            cand_idx = cand_idx[np.lexsort((cand_idx, d[cand_idx]))]
+            for j in cand_idx:
                 cand = vocab[int(j)]
                 if cand == term or cand == term.lower():
                     continue

@@ -55,18 +55,11 @@ def stratified_sample(sf_dir: str, fracs: dict[str, float], default: float = 0.0
 def _count_tokens_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, n_tokens) only — the token-count half of quality scoring
     without paying for the stopword/punct/quality work."""
-    from .analysis import _split_tokens
+    from .analysis import row_token_counts
 
-    texts = (
-        batch["text"].combine_chunks()
-        if isinstance(batch["text"], pa.ChunkedArray)
-        else batch["text"]
-    )
-    parent, _ = _split_tokens(texts)
-    n_tokens = np.zeros(batch.num_rows, dtype=np.int64)
-    np.add.at(n_tokens, parent, 1)
     return pa.table(
-        {"doc_id": batch["doc_id"], "n_tokens": pa.array(n_tokens, pa.int64())}
+        {"doc_id": batch["doc_id"],
+         "n_tokens": pa.array(row_token_counts(batch), pa.int64())}
     )
 
 

@@ -41,7 +41,10 @@ def batch_search(index_dir: str, queries, k: int = 10, profile=None,
                 scores.extend(res["score"].to_pylist())
             return pa.table(
                 {
-                    "query_id": pa.array(qids),
+                    # type from the input column: a batch whose queries
+                    # all miss would otherwise infer null-typed ids and
+                    # break concat/sort/write over mixed-schema blocks
+                    "query_id": pa.array(qids, type=batch["query_id"].type),
                     "rank": pa.array(ranks, pa.int32()),
                     "conv_id": pa.array(convs, pa.string()),
                     "turn_idx": pa.array(np.asarray(turns, np.int32), pa.int32()),

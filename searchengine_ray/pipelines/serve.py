@@ -64,9 +64,13 @@ class SearchWorker:
 
     def search(self, query: str, k=None, method: str = "exact",
                role=None, role_boost=None, match_mode: str = "any") -> pa.Table:
-        if len(self._readers) > 1:
-            # multi-segment engine: all modes supported; scoring is
-            # always exact (wand degrades to exact, never to wrong)
+        from .search import QueryEngine
+
+        if not isinstance(self.engine, QueryEngine):
+            # multi-segment engine (branch on TYPE, not reader count — a
+            # one-segment MultiIndexEngine has one reader but no method=
+            # parameter): all modes supported; scoring is always exact
+            # (wand degrades to exact, never to wrong)
             return self.engine.search(query, k=k, role=role,
                                       role_boost=role_boost, match_mode=match_mode)
         return self.engine.search(query, k=k, method=method, role=role,
