@@ -1,0 +1,84 @@
+"""Property-based oracle conformance for the hash-defined dedup family:
+on hypothesis-generated corpora (planted dup pairs, unicode, empties,
+sub-shingle shorts), the Ray pipelines must match their DuckDB HUGEINT
+SQL twins value-exactly.  Few examples, no shrinking — each example
+runs three Ray pipelines."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, Phase, given, settings
+from hypothesis import strategies as st
+
+from searchengine_ray.oracle.sql_ops import ops_sql
+from searchengine_ray.pipelines import dedup
+
+WORDS = st.sampled_from(
+    "alpha beta gamma delta epsilon zeta eta theta İstanbul café 42 "
+    "x1 y2 z3 lorem ipsum dolor sit amet the and of".split()
+)
+TEXT = st.lists(WORDS, min_size=0, max_size=12).map(" ".join)
+
+
+@st.composite
+def corpora(draw):
+    n = draw(st.integers(min_value=6, max_value=16))
+    texts = [draw(TEXT) for _ in range(n)]
+    # plant one exact dup and one near-dup so the pair paths light up
+    if n >= 4 and texts[0]:
+        texts[1] = texts[0]
+        texts[3] = (texts[2] + " extra") if texts[2] else "extra"
+    return texts
+
+
+def _norm(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@given(texts=corpora())
+@settings(
+    max_examples=4,
+    deadline=None,
+    phases=[Phase.generate],
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+def test_dedup_family_matches_sql_oracles(texts, tmp_path_factory):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("fz")
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    sqls = ops_sql()
+    runs = {
+        "simhash_pairs": lambda: dedup.simhash_pairs(str(d), max_block=10**6),
+        "minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(
+            str(d), verify=True, max_block=10**6),
+        "dedup_clusters": lambda: dedup.dedup_clusters(str(d), threshold=0.8),
+    }
+    for name, fn in runs.items():
+        r = fn()
+        r = r.to_pandas()
+        o = con.execute(sqls[name]).fetchdf()
+        rn, on = _norm(r), _norm(o)
+        assert list(rn.columns) == list(on.columns), (name, rn.columns, on.columns)
+        assert len(rn) == len(on), (name, len(rn), len(on), texts)
+        for c in rn.columns:
+            if np.issubdtype(rn[c].dtype, np.number):
+                assert np.allclose(rn[c], on[c], rtol=0, atol=1e-9), (name, c, texts)
+            else:
+                assert (rn[c].values == on[c].values).all(), (name, c, texts)
