@@ -8,7 +8,6 @@ columns by name and rows by all columns.  Used by tests/test_entry.py.
 
 from __future__ import annotations
 
-import glob
 import os
 
 import pandas as pd
@@ -24,7 +23,9 @@ def duckdb_con(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if glob.glob(path):
+        # existence check, NOT glob: sf_dir may contain glob
+        # metacharacters ('[1]' in generated workspace names)
+        if os.path.exists(path):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 

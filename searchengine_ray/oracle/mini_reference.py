@@ -62,8 +62,13 @@ class MiniReferenceEngine:
                         break
             for term, tf in counts.items():
                 if term not in self.inverted:
-                    # indexer.py:59-68 — migrate UPPER entry to lower form
-                    if term.islower() and term.upper() in self.inverted:
+                    # indexer.py:59-68 — migrate UPPER entry to lower form.
+                    # Gated on an ASCII-alpha first char, matching the Ray
+                    # build's fold scope (stages/postings.py fold_key_of):
+                    # non-alpha-first surfaces ('@who' vs '@WHO') are
+                    # distinct terms in BOTH engines.
+                    if (term and term[0].isascii() and term[0].isalpha()
+                            and term.islower() and term.upper() in self.inverted):
                         self.inverted[term] = self.inverted.pop(term.upper())
                     else:
                         self.inverted[term] = {"df": 0, "cf": 0, "postings": {}}
@@ -72,8 +77,9 @@ class MiniReferenceEngine:
                 entry["cf"] += tf
                 entry["postings"][doc_key] = (tf, doc_len)
         # entity ≥2-docs rule, order-free variant (df after case folding)
+        forms = self._entity_forms()  # O(E) once, not per vocabulary term
         for term in list(self.inverted):
-            if term in self._entity_forms() and self.inverted[term]["df"] < 2:
+            if term in forms and self.inverted[term]["df"] < 2:
                 del self.inverted[term]
         # I6 weighting pass (search_engine_2.py:90-105), rounded once
         for term, entry in self.inverted.items():

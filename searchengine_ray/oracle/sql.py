@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from ..functions.rounding import sql_round_half_up
 from ..functions.tokenize import sql_tokens_cte
-from ..sources.transcripts import TRANSCRIPTS_CTE
+from ..sources.transcripts import N_CONVS, TRANSCRIPTS_CTE
 
 # BM25 constants — reference Part C/ranker.py:62 (k=3, b=0.6); blend
 # weights reference ranker.py:32.
@@ -146,9 +146,14 @@ dw AS (
 """
 
 # Part A blend (Part A/ranker.py:26): 0.5·cosine + 0.5·inner; cosine =
-# inner / sqrt(Σw²_doc · Σq_tf²) with Σq_tf² = 4 for the 4-term query.
+# inner / sqrt(Σw²_doc · Σq_tf²).  Σq_tf² counts RESOLVED terms (q_tf=1
+# each): the engine sums over parse_query output, which drops
+# dictionary-absent terms, so a hard-coded 4 would break on any corpus
+# missing one of the fixed query's terms.
 _PART_A_SCORE = (
-    "0.5 * (CASE WHEN w.w2 > 0 THEN c.inner_p / sqrt(w.w2 * 4.0) ELSE 0 END)"
+    "0.5 * (CASE WHEN w.w2 > 0 THEN c.inner_p / sqrt(w.w2 * "
+    "(SELECT count(*) FROM qterms q2 JOIN df d2 ON d2.term = q2.term)) "
+    "ELSE 0 END)"
     " + 0.5 * c.inner_p"
 )
 
@@ -201,8 +206,7 @@ top20 AS (
     ) <= 20),
 docs AS (
     SELECT conv_id, turn_idx,
-           row_number() OVER (ORDER BY conv_id, turn_idx) AS _ord,
-           (turn_idx * 50 + CAST(substr(conv_id, 6) AS BIGINT)) AS src_doc
+           (turn_idx * {N_CONVS} + CAST(substr(conv_id, 6) AS BIGINT)) AS src_doc
     FROM top20),
 ranked1 AS (
     SELECT c.conv_id, c.turn_idx
@@ -213,7 +217,7 @@ qv AS (
     SELECT CAST(e.embedding AS DOUBLE[]) AS qe
     FROM ranked1 r
     JOIN embeddings e
-      ON e.vec_id = r.turn_idx * 50 + CAST(substr(r.conv_id, 6) AS BIGINT))
+      ON e.vec_id = r.turn_idx * {N_CONVS} + CAST(substr(r.conv_id, 6) AS BIGINT))
 SELECT d.conv_id, d.turn_idx,
        {sql_round_half_up('list_cosine_similarity(qv.qe, CAST(e.embedding AS DOUBLE[]))', 4)} AS cos
 FROM docs d JOIN embeddings e ON e.vec_id = d.src_doc CROSS JOIN qv
@@ -250,7 +254,11 @@ dvec AS (
     CROSS JOIN dims d
     GROUP BY tf.conv_id, tf.turn_idx, d.pos),
 qv AS (
-    SELECT d.pos, sum(wv.vec[d.pos]) / (SELECT count(*) FROM qterms) AS qval
+    -- divide by the RESOLVED term count: the engine means the query
+    -- vector over parse_query output, which drops dictionary-absent
+    -- terms (scale-dependent: all 4 terms exist at the shipped SFs)
+    SELECT d.pos, sum(wv.vec[d.pos])
+           / (SELECT count(*) FROM qterms q2 JOIN df d2 ON d2.term = q2.term) AS qval
     FROM qterms q JOIN wv ON wv.term = q.term CROSS JOIN dims d
     GROUP BY d.pos),
 dist AS (

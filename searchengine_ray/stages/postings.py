@@ -46,7 +46,6 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.codec import (
-    decode_postings,
     decode_postings_concat,
     encode_postings,
     encode_postings_segments,
@@ -131,15 +130,13 @@ class ExplodeEncodeStage:
         starts = np.flatnonzero(change)
         bounds = np.append(starts, len(codes))
 
-        # per-UNIQUE-term attributes once (exact parity with fold_key_of /
-        # the _ASCII_UPPER check), gathered per segment — realistic
+        # per-UNIQUE-term attributes once (THE fold_key_of definition —
+        # one owner, so the folding rule cannot drift between the run
+        # writer and the resolver), gathered per segment — realistic
         # vocabularies make segments tiny and numerous, so anything
         # per-segment must be a numpy gather, not Python
         uniq_list = uniq_terms.tolist()
-        fold_uniq = np.array(
-            [t.lower() if t and t[0] in _ASCII_LETTERS else t for t in uniq_list],
-            dtype=object,
-        )
+        fold_uniq = np.array([fold_key_of(t) for t in uniq_list], dtype=object)
         cap_uniq = np.fromiter(
             (bool(t) and t[0] in _ASCII_UPPER for t in uniq_list),
             dtype=bool, count=len(uniq_list),
@@ -281,7 +278,11 @@ def resolve_fold_group(group: pa.Table, case_folding: bool = True,
     for s, a in agg.items():
         term = s if not a[0] else (fold_key if lower_exists else s.upper())
         mapping[s] = term
-        entries.setdefault(term, []).append(s)
+        # pool the entity df rule by the term the index will EMIT: with
+        # case_folding=False that is the raw surface — pooling distinct
+        # docs across case variants there would under-drop entities the
+        # unfolded index keeps as separate df=1 terms
+        entries.setdefault(term if case_folding else s, []).append(s)
 
     dropped: set[str] = set()
     for term, surfaces in entries.items():

@@ -16,7 +16,7 @@ from searchengine_ray.pipelines.search import QueryEngine
 
 WORDS = st.sampled_from(
     "Corona corona CORONA Virus virus spread Index index batch 2020 "
-    "35 Thousand 12% a/b #Tag @who Donald Trump New York the and "
+    "35 Thousand 12% a/b #Tag @who @WHO Donald Trump New York the and "
     "data Data DATA stream".split()
 )
 TEXT = st.lists(WORDS, min_size=3, max_size=15).map(" ".join)

@@ -237,3 +237,69 @@ def test_entity_min_df_above_two_warns():
         warnings.simplefilter("always")
         resolve_fold_group(g, entity_min_df=2)  # exact default: silent
     assert not w
+
+
+def test_non_alpha_first_surfaces_never_fold(tmp_path):
+    """Regression: '@WHO' and '@who' (mention tokens survive verbatim)
+    must stay DISTINCT dictionary entries in both engines — fold_key_of
+    only folds ASCII-alpha-first surfaces, and the mini's UPPER→lower
+    migration is gated the same way."""
+    import pyarrow as pa
+
+    rows = [("c00", 0, "@WHO virus update"), ("c01", 0, "@who spread data"),
+            ("c02", 0, "virus data report")]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string()),
+            "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+        }
+    )
+    idx = str(tmp_path / "idx")
+    build_index(tbl, idx, profile="reference", n_ranges=4)
+    mini = MiniReferenceEngine()
+    mini.build(rows)
+    d = pads.dataset(f"{idx}/dictionary").to_table()
+    ray_dict = {
+        t: (df, cf)
+        for t, df, cf in zip(d["term"].to_pylist(), d["df"].to_pylist(),
+                             d["cf"].to_pylist())
+    }
+    mini_dict = {t: (e["df"], e["cf"]) for t, e in mini.inverted.items()}
+    assert ray_dict == mini_dict
+    assert "@WHO" in ray_dict and "@who" in ray_dict
+    assert ray_dict["@WHO"] == (1, 1) and ray_dict["@who"] == (1, 1)
+
+
+def test_resolve_fold_group_entity_rule_without_folding():
+    """With case_folding=False the index emits raw surfaces as terms, so
+    the P15 distinct-doc pool must be per SURFACE: an entity seen once
+    as 'Trump' (doc A) and once as 'trump' (doc B) is dropped on both
+    sides (each emitted term has df=1), never kept by pooling the two
+    docs across case variants."""
+    import pyarrow as pa
+
+    from searchengine_ray.stages.postings import PARTIAL_SCHEMA, resolve_fold_group
+
+    group = pa.table(
+        {
+            "fold_key": pa.array(["trump", "trump"], pa.string()),
+            "surface": pa.array(["Trump", "trump"], pa.string()),
+            "is_cap": pa.array([True, False]),
+            "is_entity": pa.array([True, True]),
+            "df": pa.array([1, 1], pa.int64()),
+            "doc_min": pa.array([100, 200], pa.int64()),
+            "ranges": pa.array([[0], [1]], pa.list_(pa.int32())),
+        },
+        schema=PARTIAL_SCHEMA,
+    )
+    folded = resolve_fold_group(group, case_folding=True)
+    # folding ON: both surfaces resolve to 'trump' with 2 distinct docs -> kept
+    assert not any(folded["dropped"].to_pylist())
+    unfolded = resolve_fold_group(group, case_folding=False)
+    # folding OFF: each surface is its own emitted term with df=1 -> dropped
+    assert all(unfolded["dropped"].to_pylist())
+    assert unfolded["term"].to_pylist() == unfolded["surface"].to_pylist()
