@@ -17,6 +17,15 @@ import json
 import os
 
 
+def _print_results(res) -> None:
+    """The tab-separated stdout contract, shared by every search path."""
+    for c, t, sc in zip(
+        res["conv_id"].to_pylist(), res["turn_idx"].to_pylist(),
+        res["score"].to_pylist(),
+    ):
+        print(f"{c}\t{t}\t{sc:.6f}")
+
+
 def _ray_session():
     import ray
 
@@ -103,24 +112,22 @@ def main(argv=None) -> int:
         from .pipelines.search import QueryEngine
 
         if len(segment_dirs(args.index)) > 1:
-            # segmented: exact scoring (--wand degrades to exact), --role kept
+            # segmented: exact scoring (--wand degrades to exact), --role
+            # kept.  Own the Ray session: a large segmented dictionary
+            # makes global_stats fall back to a Ray Data groupby, which
+            # would otherwise auto-init an unconfigured session
+            ray = _ray_session()
             qe = MultiIndexEngine(args.index)
             res = qe.search(args.query, k=args.k, role=args.role)
-            for c, t, sc in zip(
-                res["conv_id"].to_pylist(), res["turn_idx"].to_pylist(),
-                res["score"].to_pylist(),
-            ):
-                print(f"{c}\t{t}\t{sc:.6f}")
+            _print_results(res)
+            ray.shutdown()
             return 0
         qe = QueryEngine(args.index)
         res = qe.search(
             args.query, k=args.k,
             method="wand" if args.wand else "exact", role=args.role,
         )
-        for c, t, sc in zip(
-            res["conv_id"].to_pylist(), res["turn_idx"].to_pylist(), res["score"].to_pylist()
-        ):
-            print(f"{c}\t{t}\t{sc:.6f}")
+        _print_results(res)
         return 0
 
     if args.cmd == "batch":
@@ -152,7 +159,9 @@ def main(argv=None) -> int:
                     ["conv_id", "turn_idx", "score"]
                 )
         write_results_csv(args.out, results)
-        print(f"wrote {args.out} ({len(results)} queries)")
+        n_empty = queries.num_rows - len(results)
+        print(f"wrote {args.out} ({len(results)} of {queries.num_rows} "
+              f"queries with hits; {n_empty} returned no results)")
         ray.shutdown()
         return 0
     return 1

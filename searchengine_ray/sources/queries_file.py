@@ -21,23 +21,40 @@ import csv
 import pyarrow as pa
 
 
+def _first_nonempty(rows):
+    for r in rows:
+        if r and any(c.strip() for c in r):
+            return r
+    return None
+
+
 def read_queries_tsv(path: str) -> pa.Table:
+    """TSV queries OR plain one-query-per-line text.
+
+    Routing is by SHAPE, not a byte sniff: the file is TSV only if its
+    first non-empty row's first tab-separated field is an integer id (a
+    header row counts too, when the row has ≥2 columns).  A plain-text
+    query that merely contains a tab must not be misrouted — that used
+    to drop the first query as a "header" and then crash on int()."""
     qids, needs, keywords = [], [], []
     with open(path, newline="") as f:
-        sample = f.read(4096)
-        f.seek(0)
-        if "\t" in sample:
-            rows = list(csv.reader(f, delimiter="\t"))
-            header = 0
-            if rows and not rows[0][0].strip().isdigit():
-                header = 1  # skip header row
-            for r in rows[header:]:
-                if not r or not r[0].strip():
-                    continue
-                qids.append(int(r[0]))
-                needs.append(r[1] if len(r) > 2 else "")
-                keywords.append(r[-1])
-        else:
+        rows = list(csv.reader(f, delimiter="\t"))
+    first = _first_nonempty(rows)
+    is_tsv = first is not None and len(first) >= 2 and (
+        first[0].strip().isdigit()
+        or (len(rows) > 1 and (_first_nonempty(rows[1:]) or [""])[0].strip().isdigit())
+    )
+    if is_tsv:
+        header = 0 if first[0].strip().isdigit() else 1
+        seen_rows = [r for r in rows if r and any(c.strip() for c in r)]
+        for r in seen_rows[header:]:
+            if not r[0].strip():
+                continue
+            qids.append(int(r[0]))
+            needs.append(r[1] if len(r) > 2 else "")
+            keywords.append(r[-1])
+    else:
+        with open(path) as f:
             for i, line in enumerate(f):
                 line = line.strip()
                 if line:
@@ -54,16 +71,33 @@ def read_queries_tsv(path: str) -> pa.Table:
 
 
 def read_labels_csv(path: str) -> pa.Table:
+    """CSV qrels ``query, doc, y_true`` — header detection inspects the
+    y_true column (column 2, the one the data path reads), skipping
+    blank leading rows rather than crashing on them."""
     queries, docs, y = [], [], []
     with open(path, newline="") as f:
-        rows = list(csv.reader(f))
-        header = 1 if rows and not rows[0][-1].strip().lstrip("-").isdigit() else 0
-        for r in rows[header:]:
-            if not r:
-                continue
-            queries.append(int(r[0]))
-            docs.append(r[1])
-            y.append(int(float(r[2])))
+        rows = [r for r in csv.reader(f) if r and any(c.strip() for c in r)]
+    if not rows:
+        return pa.table(
+            {
+                "query": pa.array([], pa.int64()),
+                "doc": pa.array([], pa.string()),
+                "y_true": pa.array([], pa.int64()),
+            }
+        )
+
+    def _numeric(s: str) -> bool:
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    header = 1 if (len(rows[0]) < 3 or not _numeric(rows[0][2])) else 0
+    for r in rows[header:]:
+        queries.append(int(r[0]))
+        docs.append(r[1])
+        y.append(int(float(r[2])))
     return pa.table(
         {
             "query": pa.array(queries, pa.int64()),
@@ -88,8 +122,16 @@ def write_results_csv(path: str, results: dict[int, pa.Table]) -> None:
 
 
 def write_preprocessed_text(sf_dir_or_ds, out_dir: str, profile: str = "simple") -> None:
-    """Tokenized corpus as text: one line of space-joined terms per turn."""
-    import ray.data as rd
+    """Tokenized corpus as PLAIN text: one line of space-joined terms per
+    turn, with term repetitions preserved (``np.repeat(terms, tfs)`` —
+    an embedding trainer needs the counts; within-doc ORDER is the
+    index's term order, not the original token stream, a documented
+    deviation from ``Part C/preprocessor.py`` whose output is ordered).
+
+    Each Ray block writes one raw ``part-*.txt`` under ``out_dir`` — no
+    CSV headers or quoting may pollute the line-per-doc contract."""
+    import os
+    import uuid
 
     from ..sources.transcripts import transcripts_from_documents
     from ..stages.tokenize import TokenizeStage
@@ -103,9 +145,19 @@ def write_preprocessed_text(sf_dir_or_ds, out_dir: str, profile: str = "simple")
         TokenizeStage, fn_constructor_args=(profile,), batch_format="pyarrow",
         concurrency=(1, 4),
     )
+    os.makedirs(out_dir, exist_ok=True)
 
-    def join_terms(t: pa.Table) -> pa.Table:
-        lines = [" ".join(terms) for terms in t["terms"].to_pylist()]
-        return pa.table({"text": pa.array(lines, pa.string())})
+    def write_block(t: pa.Table) -> pa.Table:
+        lines = []
+        for terms, tfs in zip(t["terms"].to_pylist(), t["tfs"].to_pylist()):
+            words = []
+            for term, tf in zip(terms, tfs):
+                words.extend([term] * tf)
+            lines.append(" ".join(words))
+        name = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.txt")
+        with open(name, "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+        return pa.table({"n": pa.array([len(lines)], pa.int64())})
 
-    tok.map_batches(join_terms, batch_format="pyarrow").write_csv(out_dir)
+    # consume the stream (tiny one-row tables per block)
+    tok.map_batches(write_block, batch_format="pyarrow").materialize()

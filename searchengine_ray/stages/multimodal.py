@@ -138,6 +138,16 @@ def sample_frames(sf_dir: str, frame_size: int = 256, every: int = 2):
     import ray.data as rd
 
     def expand(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # np.cumsum([])[:-1] would make `starts` 1-long vs 0 repeats
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "frame_idx": pa.array([], pa.int64()),
+                    "frame_off": pa.array([], pa.int64()),
+                    "frame_len": pa.array([], pa.int64()),
+                }
+            )
         n_bytes = np.array(
             [len(p) for p in batch["payload"].to_pylist()], dtype=np.int64
         )

@@ -114,7 +114,14 @@ class TokenizeStage:
             return TOKENIZED_SCHEMA.empty_table()
         if len(terms) > 4096:
             codes, uniq = self._term_codes(pa.array(terms, type=pa.string()))
-            order = np.lexsort((codes, rows))  # deterministic (row, code) order
+            # map first-appearance codes to LEXICOGRAPHIC ranks (one
+            # small argsort over the batch vocabulary) so the emitted
+            # per-doc term order is identical to the small path's string
+            # lexsort — the tokenized artifact must not depend on how
+            # Ray happened to split blocks (resume/diff reproducibility)
+            lexrank = np.empty(len(uniq), dtype=np.int64)
+            lexrank[np.argsort(uniq, kind="stable")] = np.arange(len(uniq))
+            order = np.lexsort((lexrank[codes], rows))
         else:
             order = np.lexsort((terms, rows))  # deterministic (row, term) order
         rows, terms, tfs, ents = rows[order], terms[order], tfs[order], ents[order]
