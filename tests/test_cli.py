@@ -65,3 +65,36 @@ def test_cli_batch(built):
     assert r.returncode == 0, r.stderr[-500:]
     lines = out.read_text().strip().splitlines()
     assert lines[0] == "query,doc,rank" and len(lines) > 1
+
+
+def test_queries_reader_routing_and_blank_rows(tmp_path):
+    """Shape-based TSV routing: plain text containing a tab is NOT
+    misrouted (used to drop line 1 as a 'header' then crash on int);
+    blank leading rows never IndexError."""
+    from searchengine_ray.sources.queries_file import (read_labels_csv,
+                                                       read_queries_tsv)
+
+    p = tmp_path / "plain.txt"
+    p.write_text("covid cases\tnew york\nvaccine rollout\n")
+    t = read_queries_tsv(str(p))
+    assert t["query_id"].to_pylist() == [1, 2]
+    assert t["keywords"].to_pylist() == ["covid cases\tnew york", "vaccine rollout"]
+
+    p2 = tmp_path / "hdr.tsv"
+    p2.write_text("query_id\tneed\tkeywords\n1\ta\tcovid cases\n2\tb\tvax\n")
+    t2 = read_queries_tsv(str(p2))
+    assert t2["query_id"].to_pylist() == [1, 2]
+    assert t2["keywords"].to_pylist() == ["covid cases", "vax"]
+
+    p3 = tmp_path / "blank.tsv"
+    p3.write_text("\n1\tneed\tcovid cases\n")
+    assert read_queries_tsv(str(p3)).num_rows == 1
+
+    l1 = tmp_path / "l.csv"
+    l1.write_text("\nquery,doc,y_true\n1,c0:1,1\n2,c1:0,0\n")
+    lt = read_labels_csv(str(l1))
+    assert lt["query"].to_pylist() == [1, 2] and lt["y_true"].to_pylist() == [1, 0]
+    l2 = tmp_path / "l4.csv"
+    l2.write_text("1,c0:1,1,free-text comment\n")
+    lt2 = read_labels_csv(str(l2))
+    assert lt2.num_rows == 1 and lt2["y_true"].to_pylist() == [1]
