@@ -159,9 +159,13 @@ def main(argv=None) -> int:
                     ["conv_id", "turn_idx", "score"]
                 )
         write_results_csv(args.out, results)
-        n_empty = queries.num_rows - len(results)
-        print(f"wrote {args.out} ({len(results)} of {queries.num_rows} "
-              f"queries with hits; {n_empty} returned no results)")
+        # count per INPUT ROW (duplicate qids collapse in the results
+        # dict, which used to inflate the empty count)
+        n_empty = sum(
+            1 for q in queries["query_id"].to_pylist() if q not in results
+        )
+        print(f"wrote {args.out} ({queries.num_rows - n_empty} of {queries.num_rows} "
+              f"query rows with hits; {n_empty} returned no results)")
         ray.shutdown()
         return 0
     return 1

@@ -3,10 +3,11 @@
 
 Exact twins of the Ray pipelines in pipelines/analysis.py, dedup.py,
 ann.py and stages/multimodal.py — same tokenization, same closed-form
-scores, same explicit rounding, same thresholds.  Operators whose
-semantics are not SQL-expressible (minhash-LSH, simhash) intentionally
-have no entry here; the driver records a rows-only check and pytest
-covers them against planted ground truth.
+scores, same explicit rounding, same thresholds.  Since round 3 this
+includes the hash-defined operators (fingerprints, minhash-LSH,
+simhash): their string hash is poly_hash_u64, reproduced bit-exactly
+in HUGEINT SQL below, so every entry is value-hash checked — none is
+rows-only.
 """
 
 from __future__ import annotations

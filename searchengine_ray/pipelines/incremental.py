@@ -272,8 +272,11 @@ def merge_segment_dictionaries(dirs: list[str],
         ]
         ds = rd.read_parquet(files, columns=["term", "df"])
         agg = ds.groupby("term").aggregate(Sum("df", alias_name="df"))
-        blocks = ray.get(agg.to_arrow_refs())
-        out = pa.concat_tables(b for b in blocks if b.num_rows).select(["term", "df"])
+        blocks = [b for b in ray.get(agg.to_arrow_refs()) if b.num_rows]
+        if not blocks:  # every segment dictionary empty (degenerate input)
+            out = pa.schema([("term", pa.string()), ("df", pa.int64())]).empty_table()
+        else:
+            out = pa.concat_tables(blocks).select(["term", "df"])
     return out.sort_by("term")
 
 

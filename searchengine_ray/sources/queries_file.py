@@ -40,9 +40,13 @@ def read_queries_tsv(path: str) -> pa.Table:
     with open(path, newline="") as f:
         rows = list(csv.reader(f, delimiter="\t"))
     first = _first_nonempty(rows)
+    # The digit check must sit on a row that itself has ≥2 tab fields:
+    # a plain-text file whose first line contains a tab and whose later
+    # line is an all-digit QUERY ('2020') must not be classed as TSV.
+    second = _first_nonempty(rows[1:]) if len(rows) > 1 else None
     is_tsv = first is not None and len(first) >= 2 and (
         first[0].strip().isdigit()
-        or (len(rows) > 1 and (_first_nonempty(rows[1:]) or [""])[0].strip().isdigit())
+        or (second is not None and len(second) >= 2 and second[0].strip().isdigit())
     )
     if is_tsv:
         header = 0 if first[0].strip().isdigit() else 1

@@ -80,6 +80,15 @@ def test_queries_reader_routing_and_blank_rows(tmp_path):
     assert t["query_id"].to_pylist() == [1, 2]
     assert t["keywords"].to_pylist() == ["covid cases\tnew york", "vaccine rollout"]
 
+    # tab in line 1 AND an all-digit later QUERY ('2020'): still plain
+    # text — the digit check must sit on a row with >=2 tab fields
+    p1b = tmp_path / "plain_digit.txt"
+    p1b.write_text("covid cases\tnew york\n2020\nvaccine rollout\n")
+    t1b = read_queries_tsv(str(p1b))
+    assert t1b["query_id"].to_pylist() == [1, 2, 3]
+    assert t1b["keywords"].to_pylist() == [
+        "covid cases\tnew york", "2020", "vaccine rollout"]
+
     p2 = tmp_path / "hdr.tsv"
     p2.write_text("query_id\tneed\tkeywords\n1\ta\tcovid cases\n2\tb\tvax\n")
     t2 = read_queries_tsv(str(p2))

@@ -209,10 +209,12 @@ def test_ann_sample_is_partition_order_independent(tmp_path):
     alt = tmp_path / "alt"
     alt.mkdir()
     half = t.num_rows // 2
-    pq.write_table(rev.slice(0, half), str(alt / "embeddings.parquet"))
-    # _sample_embeddings reads <dir>/embeddings.parquet; single reversed
-    # file is enough to break a head-slice sampler
-    pq.write_table(rev, str(alt / "embeddings.parquet"))
+    # _sample_embeddings reads <dir>/embeddings.parquet, which may be a
+    # DIRECTORY of part files: write the reversed rows as a genuine
+    # two-file split so multi-file layouts are actually exercised
+    (alt / "embeddings.parquet").mkdir()
+    pq.write_table(rev.slice(0, half), str(alt / "embeddings.parquet" / "part-0.parquet"))
+    pq.write_table(rev.slice(half), str(alt / "embeddings.parquet" / "part-1.parquet"))
     a = ann._sample_embeddings(src, 16)
     b = ann._sample_embeddings(str(alt), 16)
     assert sorted(a["vec_id"].to_pylist()) == sorted(b["vec_id"].to_pylist())
