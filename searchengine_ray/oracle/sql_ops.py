@@ -420,10 +420,22 @@ def ops_sql() -> dict[str, str]:
             est_round=sql_round_half_up("k.est", 4),
             jac_round=sql_round_half_up("it / (sa.ns + sb.ns - it)", 4),
         ),
-        "dedup_exact": """
-            SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_doc_id,
+        # exact-dedup twin: the engine's content key is poly_hash_u64 of
+        # the utf8 bytes (int64 view) + octet length — reproduced with
+        # the shared HUGEINT poly/splitmix chain
+        "dedup_exact": f"""
+            WITH raw AS (
+                SELECT doc_id, hex(encode(text)) AS hx,
+                       octet_length(encode(text)) AS n
+                FROM documents),
+            h0 AS (SELECT doc_id, n,
+                          {_poly_accum(_byte_list('hx', 'n'))} AS h
+                   FROM raw),
+            {_splitmix_ctes('e', 'h0', 'doc_id, n').lstrip()}
+            SELECT {_as_i64('z')} AS text_hash, n::BIGINT AS n_bytes,
+                   min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_copies
-            FROM documents GROUP BY md5(text)
+            FROM e6 GROUP BY z, n
         """,
         "ngram_jaccard_pairs": ngram_jaccard,
         "minhash_verified_pairs": ngram_jaccard,
@@ -490,9 +502,13 @@ def ops_sql() -> dict[str, str]:
             FROM t
         """,
         # ---- composed curation pipeline --------------------------------
+        # curation groups by raw text here where the engine groups by
+        # (poly_hash_u64, n_bytes) — identical output short of a 64-bit
+        # same-length hash collision (none on any shipped corpus; the
+        # output exposes no hash column either way)
         "curation": f"""
             WITH f AS (
-                SELECT doc_id, md5(text) AS m,
+                SELECT doc_id, text AS m,
                        len({_WORDS})::BIGINT AS n_tokens,
                        len(list_filter({_SPLIT}, x -> x IN ({_STOP})))::BIGINT AS stop_hits,
                        length(text)::BIGINT AS n_chars,
@@ -511,7 +527,7 @@ def ops_sql() -> dict[str, str]:
                                WHEN fr_hits >= 1 THEN 'fr'
                                ELSE 'und' END AS pred_lang
                 FROM f),
-            keep AS (SELECT md5(text) AS m, min(doc_id) AS k
+            keep AS (SELECT text AS m, min(doc_id) AS k
                      FROM documents GROUP BY 1)
             SELECT l.doc_id, l.pred_lang, l.n_tokens,
                    {r4(quality_raw, 4)} AS quality

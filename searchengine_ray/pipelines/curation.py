@@ -8,35 +8,33 @@ curation runs them as ONE streaming flow so the corpus is read once:
          → groupby(content hash): keep the min-doc_id copy
          → filter (language allow-list + quality threshold)
 
-One shuffle total (the dedup groupby, keyed on the 16-byte digest —
-uniformly distributed, no skew), everything else vectorized map_batches.
-At 100 TB the same plan streams: features are stateless, the groupby
-exchanges only (digest, doc_id, lang, quality, n_tokens) rows — never
-text — and the winner row is re-emitted from those columns.
+One shuffle total (the dedup groupby, keyed on the 64-bit content hash
++ byte length — uniformly distributed, no skew), everything else
+vectorized map_batches.  At 100 TB the same plan streams: features are
+stateless, the groupby exchanges only (hash, doc_id, lang, quality,
+n_tokens) rows — never text — and the winner row is re-emitted from
+those columns.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pyarrow as pa
 
 from .analysis import lang_id_batch, quality_batch
+from .dedup import content_hash_batch
 
 
 def curation_features(batch: pa.Table) -> pa.Table:
     """Per-doc curation signals in one pass over the batch."""
     lang = lang_id_batch(batch)
     qual = quality_batch(batch)
-    md5 = [
-        hashlib.md5(t.encode("utf-8")).hexdigest()
-        for t in batch["text"].to_pylist()
-    ]
+    key = content_hash_batch(batch)  # vectorized, no per-row hashing loop
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "text_md5": pa.array(md5, pa.string()),
+            "text_hash": key["text_hash"],
+            "n_bytes": key["n_bytes"],
             "pred_lang": lang["pred_lang"],
             "n_tokens": qual["n_tokens"],
             "quality": qual["quality"],
@@ -133,7 +131,9 @@ def curate(sf_dir: str, langs=("en",), min_quality: float = 0.55):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     feats = ds.map_batches(curation_features, batch_format="pyarrow")
-    kept = feats.groupby("text_md5").map_groups(_keep_first, batch_format="pyarrow")
+    kept = feats.groupby(["text_hash", "n_bytes"]).map_groups(
+        _keep_first, batch_format="pyarrow"
+    )
 
     langs = tuple(langs)
 

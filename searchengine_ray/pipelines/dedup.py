@@ -2,7 +2,8 @@
 
 Four families, each expressed Ray-Data-first:
 
-- exact: content-hash (md5) → hash-partitioned groupby → keep min doc_id.
+- exact: vectorized content hash (poly_hash_u64 + byte length) →
+  hash-partitioned groupby → keep min doc_id.
 - n-gram Jaccard: word-3-gram inverted blocking → per-ngram candidate
   pairs carrying both docs' set sizes → pair-count groupby → Jaccard
   computed inside ``map_batches`` (no driver-side state at all).
@@ -16,8 +17,12 @@ Four families, each expressed Ray-Data-first:
 
 Scale notes: the blocking groupbys shuffle only (key, doc_id[, size])
 rows; per-group pair emission is quadratic in group size, so hot blocks
-(stop-ngrams, empty bands) are capped by ``max_block`` — oversized
-blocks are dropped with a ``logger.warning`` carrying the block size.
+are capped by ``max_block``: non-discriminative ngram blocks
+(stop-grams) are dropped with a ``logger.warning``, while LSH/simhash
+band buckets — where an over-cap bucket is usually a mega-cluster of
+near-identical docs — are SALTED into capped sub-chunks plus bridge
+pairs (``_pairs_from_group(salt=True)``), so cluster connectivity
+survives the cap instead of silently losing the whole bucket.
 No path materializes a full per-doc table on the driver: candidate
 verification joins the (small by construction) candidate set back to
 the signature dataset via a broadcast id filter and runs as
@@ -26,7 +31,6 @@ the signature dataset via a broadcast id filter and runs as
 
 from __future__ import annotations
 
-import hashlib
 import logging
 
 import numpy as np
@@ -42,20 +46,38 @@ logger = logging.getLogger("searchengine_ray.dedup")
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def _md5_batch(batch: pa.Table) -> pa.Table:
-    h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
-    return pa.table({"text_md5": pa.array(h, pa.string()), "doc_id": batch["doc_id"]})
+def content_hash_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized content key per doc: ``text_hash`` = poly_hash_u64 of
+    the utf8 bytes (zero-copy off the Arrow buffers — the former per-row
+    hashlib.md5 loop was the one full-corpus stage that boxed every
+    text) + ``n_bytes`` as an independent second channel, so a 64-bit
+    collision additionally needs equal byte length (the grouping key is
+    the PAIR).  Both parts have exact DuckDB twins (HUGEINT poly chain,
+    octet_length)."""
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    h = poly_hash_u64(texts).view(np.int64)
+    return pa.table(
+        {
+            "text_hash": pa.array(h, pa.int64()),
+            "n_bytes": pc.binary_length(texts).cast(pa.int64()),
+            "doc_id": batch["doc_id"],
+        }
+    )
 
 
 def dedup_exact(sf_dir: str):
-    """→ (text_md5, keep_doc_id=min, n_copies) — one row per distinct text."""
+    """→ (text_hash, n_bytes, keep_doc_id=min, n_copies) — one row per
+    distinct text (key = content hash + byte length, see
+    ``content_hash_batch``)."""
     import ray.data as rd
     from ray.data.aggregate import Count, Min
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return (
-        ds.map_batches(_md5_batch, batch_format="pyarrow")
-        .groupby("text_md5")
+        ds.map_batches(content_hash_batch, batch_format="pyarrow")
+        .groupby(["text_hash", "n_bytes"])
         .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies"))
     )
 
@@ -64,13 +86,25 @@ def dedup_exact(sf_dir: str):
 # shared candidate-pair plumbing
 # ---------------------------------------------------------------------------
 
-def _pairs_from_group(group: pa.Table, max_block: int = 200, size_col: str | None = None) -> pa.Table:
+def _pairs_from_group(group: pa.Table, max_block: int = 200,
+                      size_col: str | None = None, salt: bool = False) -> pa.Table:
     """All ordered pairs within one blocking group (doc-id sorted).
 
     With ``size_col``, each pair row also carries both docs' set sizes
     (``na``/``nb``) so downstream similarity needs no side lookup.
-    Groups larger than ``max_block`` are non-discriminative hot blocks
-    (stop-ngrams, degenerate bands): dropped, with a warning."""
+
+    Groups larger than ``max_block`` are hot blocks.  For
+    non-discriminative blocking keys (stop-ngrams) they are DROPPED
+    with a warning (``salt=False``, the default).  For LSH/simhash band
+    buckets a hot block is typically a mega-cluster of near-identical
+    docs whose pairs must NOT silently vanish (round-3 VERDICT #5):
+    with ``salt=True`` the block is split into contiguous doc-id-sorted
+    sub-chunks of ≤ ``max_block`` (all pairs within each chunk) plus
+    one bridge pair per extra chunk (chunk-min ↔ global-min), so the
+    emitted pair count is capped at ~n·max_block/2 while the block's
+    docs stay CONNECTED through downstream exact verification —
+    ``dedup_clusters`` recall survives the cap even though the pair
+    list is intentionally partial."""
     n = group.num_rows
     cols: dict[str, pa.Array] = {
         "doc_a": pa.array([], pa.int64()),
@@ -81,16 +115,34 @@ def _pairs_from_group(group: pa.Table, max_block: int = 200, size_col: str | Non
         cols["nb"] = pa.array([], pa.int64())
     if n < 2:
         return pa.table(cols)
-    if n > max_block:
-        logger.warning("dedup: dropping hot block of %d docs (max_block=%d)", n, max_block)
-        return pa.table(cols)
     order = np.argsort(group["doc_id"].to_numpy())
     ids = group["doc_id"].to_numpy()[order]
-    a, b = np.triu_indices(n, k=1)
+    sz = group[size_col].to_numpy()[order] if size_col is not None else None
+    if n <= max_block:
+        a, b = np.triu_indices(n, k=1)
+    elif not salt:
+        logger.warning("dedup: dropping hot block of %d docs (max_block=%d)", n, max_block)
+        return pa.table(cols)
+    else:
+        n_sub = -(-n // max_block)  # ceil
+        logger.warning(
+            "dedup: salting hot block of %d docs into %d sub-chunks (max_block=%d)",
+            n, n_sub, max_block,
+        )
+        bounds = np.linspace(0, n, n_sub + 1).astype(np.int64)
+        a_parts, b_parts = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            ca, cb = np.triu_indices(int(hi - lo), k=1)
+            a_parts.append(ca + lo)
+            b_parts.append(cb + lo)
+        # bridges: each later chunk's min doc pairs with the global min
+        a_parts.append(np.zeros(n_sub - 1, dtype=np.int64))
+        b_parts.append(bounds[1:-1])
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
     cols["doc_a"] = pa.array(ids[a], pa.int64())
     cols["doc_b"] = pa.array(ids[b], pa.int64())
     if size_col is not None:
-        sz = group[size_col].to_numpy()[order]
         cols["na"] = pa.array(sz[a], pa.int64())
         cols["nb"] = pa.array(sz[b], pa.int64())
     return pa.table(cols)
@@ -123,6 +175,140 @@ def _rows_for_ids(ds, ids, schema: pa.Schema) -> pa.Table:
         return t.filter(pa.array(want[pos] == d))
 
     return _collect_table(ds.map_batches(keep, batch_format="pyarrow"), schema)
+
+
+# ---------------------------------------------------------------------------
+# distributed exact-verify plumbing (hashed gram sets + vectorized pair
+# intersection) — shared by minhash_lsh_pairs(verify=True) and
+# minhash_verified_pairs
+# ---------------------------------------------------------------------------
+
+def _candidate_gram_lookup(sf_dir: str, needed, shingle: int, fallback: bool):
+    """Hashed word-``shingle``-gram sets of the candidate docs, built
+    DISTRIBUTEDLY and broadcast candidate-sized.
+
+    Replaces the former driver-side ``pads.dataset(...).to_table`` text
+    fetch + per-doc Python tokenize loop (round-3 VERDICT "What's
+    wrong" #1): each documents batch filters itself against the
+    broadcast candidate-id set and runs the shared vectorized gram path
+    (``_flat_grams`` + ``_distinct_rows`` + ``poly_hash_u64``) — doc
+    text never leaves the cluster, only O(candidate) sorted-unique hash
+    arrays do.  ``fallback=True`` adds the whole-text single-shingle
+    fallback for token-poor docs (the MinHashStage/_MINHASH_SQL
+    semantics); ``fallback=False`` leaves their sets empty (the
+    all-pairs ngram-Jaccard semantics, where gram-less docs never pair).
+
+    → ``ray.ObjectRef`` of ``(ids_sorted, offsets, flat_hashes_u64)``:
+    doc i's set is ``flat[offsets[i]:offsets[i+1]]``, sorted unique."""
+    import ray
+    import ray.data as rd
+
+    ids_ref = ray.put(np.asarray(sorted(needed), dtype=np.int64))
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("gram_hashes", pa.list_(pa.int64()))]
+    )
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        d = t["doc_id"].to_numpy()
+        if not len(want):
+            return out_schema.empty_table()
+        pos = np.searchsorted(want, d).clip(0, len(want) - 1)
+        t = t.filter(pa.array(want[pos] == d))
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        grams, parents = _flat_grams(texts, shingle)
+        keep = _distinct_rows(parents, grams)
+        par_d = parents[keep]
+        h = poly_hash_u64(grams.take(pa.array(keep, pa.int64())))
+        if fallback:
+            counts = np.bincount(par_d, minlength=n)
+            none = np.flatnonzero(counts == 0)
+            if len(none):
+                ins = np.searchsorted(par_d, none)
+                hf = poly_hash_u64(texts.take(pa.array(none, pa.int64())))
+                h = np.insert(h, ins, hf)
+                par_d = np.insert(par_d, ins, none)
+        # sorted-unique HASH set per doc (set-of-hashes semantics, as
+        # the former np.unique-per-doc loop had).  With fallback=False a
+        # gram-less batch leaves everything empty — every doc gets an
+        # empty list row (the np.r_[True, ...] seed needs >=1 element).
+        if len(par_d):
+            order = np.lexsort((h, par_d))
+            par_s, h_s = par_d[order], h[order]
+            first = np.r_[True, (par_s[1:] != par_s[:-1]) | (h_s[1:] != h_s[:-1])]
+            par_s, h_s = par_s[first], h_s[first]
+        else:
+            par_s, h_s = par_d, h
+        counts2 = np.bincount(par_s, minlength=n)
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(counts2))).astype(np.int32)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "gram_hashes": pa.ListArray.from_arrays(
+                    offsets, pa.array(h_s.view(np.int64), pa.int64())
+                ),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tbl = _collect_table(ds.map_batches(gram_rows, batch_format="pyarrow"), out_schema)
+    ids = tbl["doc_id"].to_numpy()
+    order = pa.array(np.argsort(ids), pa.int64())
+    lists = tbl["gram_hashes"].combine_chunks().take(order)
+    flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    off = np.concatenate(([0], np.cumsum(lens)))
+    return ray.put((np.sort(ids), off, flat))
+
+
+def _gather_segments(flat: np.ndarray, off: np.ndarray, idx: np.ndarray):
+    """Ragged gather: concatenation of segments ``flat[off[i]:off[i+1]]``
+    for each i in ``idx`` (order preserved) → (values, per-segment lens)."""
+    lens = off[idx + 1] - off[idx]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, flat.dtype), lens
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    pos = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(cum[:-1], lens)
+        + np.repeat(off[idx], lens)
+    )
+    return flat[pos], lens
+
+
+def _pair_set_overlap(t: pa.Table, lookup) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-pair set intersection/union sizes for a batch of
+    candidate pairs against the broadcast gram lookup: gather both
+    sides' sorted hash segments, lexsort one (pair, hash) stream, count
+    adjacent duplicates (each side is unique within a pair, so a
+    duplicate key == a hash present on both sides).  No per-pair Python.
+
+    → (inter, union) float64 arrays, one entry per pair row."""
+    ids, off, flat = lookup
+    P = t.num_rows
+    ia = np.searchsorted(ids, t["doc_a"].to_numpy())
+    ib = np.searchsorted(ids, t["doc_b"].to_numpy())
+    flat_a, la = _gather_segments(flat, off, ia)
+    flat_b, lb = _gather_segments(flat, off, ib)
+    pid = np.concatenate(
+        [np.repeat(np.arange(P, dtype=np.int64), la),
+         np.repeat(np.arange(P, dtype=np.int64), lb)]
+    )
+    hh = np.concatenate([flat_a, flat_b])
+    order = np.lexsort((hh, pid))
+    ps, hs = pid[order], hh[order]
+    dup = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
+    inter = np.bincount(ps[1:][dup], minlength=P).astype(np.float64)
+    union = (la + lb).astype(np.float64) - inter
+    return inter, union
 
 
 # ---------------------------------------------------------------------------
@@ -352,16 +538,6 @@ class MinHashStage:
         )
 
 
-def _simple_words(text: str) -> list[str]:
-    """Tokens of ONE string via the same Arrow kernels as the batch path.
-    NOT python ``str.lower()``: its full Unicode case mapping diverges
-    from Arrow/DuckDB simple mapping (e.g. U+0130 'İ'.lower() adds a
-    combining dot that the split turns into an extra token), which would
-    break the bit-exact SQL-oracle contract on non-ASCII text."""
-    flat, _ = _flat_tokens(pa.array([text], pa.string()))
-    return flat.to_pylist()
-
-
 def _lsh_candidates(sigs, bands: int, max_block: int, n_hashes: int = 128):
     """Banded LSH candidate generation over a materialized signature
     Dataset → deduped candidate-pair Dataset (doc_a, doc_b, n_bands).
@@ -395,7 +571,10 @@ def _lsh_candidates(sigs, bands: int, max_block: int, n_hashes: int = 128):
     return (
         sigs.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
-        .map_groups(_pairs_from_group, batch_format="pyarrow", fn_kwargs={"max_block": max_block})
+        # band buckets salt rather than drop: an over-cap bucket is
+        # typically a mega-cluster whose pairs must stay connected
+        .map_groups(_pairs_from_group, batch_format="pyarrow",
+                    fn_kwargs={"max_block": max_block, "salt": True})
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
         .materialize()  # candidate pairs are few by construction
@@ -410,8 +589,9 @@ def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
     a Dataset, the O(candidates) signatures they touch are fetched via a
     broadcast id filter, and scoring runs vectorized in ``map_batches``.
     ``verify=True`` additionally recomputes the EXACT shingle Jaccard
-    for surviving pairs (reading only those docs via predicate pushdown
-    — candidates are few by construction)."""
+    for surviving pairs, fully distributed: gram sets are built
+    cluster-side for candidate docs only (broadcast-id filter) and the
+    pair intersection runs vectorized in ``map_batches``."""
     import ray
     import ray.data as rd
 
@@ -456,36 +636,27 @@ def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
             }
         )
 
-    result = _collect_table(
-        cand.map_batches(score_pairs, batch_format="pyarrow"), out_schema
-    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
-
-    if verify and not result.num_rows:
-        return full_schema.empty_table()
+    scored = cand.map_batches(score_pairs, batch_format="pyarrow", batch_size=2048)
     if verify:
-        import pyarrow.dataset as pads
+        # distributed exact verify: hashed gram sets built cluster-side
+        # (whole-text fallback for token-poor docs, the MinHashStage /
+        # _MINHASH_SQL semantics — sets are never empty), vectorized
+        # pair intersection inside map_batches.  No driver text fetch.
+        gram_ref = _candidate_gram_lookup(sf_dir, needed, shingle, fallback=True)
 
-        doc_a = result["doc_a"].to_pylist()
-        doc_b = result["doc_b"].to_pylist()
-        wanted = sorted(set(doc_a) | set(doc_b))
-        t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
-            columns=["doc_id", "text"],
-            filter=pads.field("doc_id").isin(wanted),
-        )
-        shingles = {}
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            words = _simple_words(text)
-            shingles[did] = {
-                " ".join(words[i : i + shingle]) for i in range(len(words) - shingle + 1)
-            } or {text}
-        exact = [
-            round_half_up(
-                [len(shingles[a] & shingles[b]) / len(shingles[a] | shingles[b])], 4
-            )[0]
-            for a, b in zip(doc_a, doc_b)
-        ]
-        result = result.append_column("jaccard", pa.array(exact, pa.float64()))
-    return result
+        def add_exact(tb: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            inter, union = _pair_set_overlap(tb, _ray.get(gram_ref))
+            j = inter / union
+            return tb.append_column(
+                "jaccard", pa.array(round_half_up(j, 4), pa.float64())
+            )
+
+        scored = scored.map_batches(add_exact, batch_format="pyarrow", batch_size=2048)
+    return _collect_table(scored, full_schema).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")]
+    )
 
 
 def minhash_verified_pairs(sf_dir: str, threshold: float = 0.8, shingle: int = 3,
@@ -500,12 +671,14 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = 0.8, shingle: int = 3
     duplicate cluster's band bucket) while the cluster only ever
     verifies the LSH-proposed pairs instead of all n².
 
-    Gram sets for the verify step are computed only for candidate docs
-    (predicate-pushdown read) and broadcast as hashed-shingle arrays;
-    the pair verify runs vectorized per batch over the candidate
-    Dataset.  ``max_block`` caps band-bucket size — for exact oracle
-    parity pass an effectively-unbounded value (a dropped hot bucket
-    drops its pairs)."""
+    Gram sets for the verify step are computed only for candidate docs,
+    DISTRIBUTEDLY (broadcast-id-filtered ``map_batches`` over the
+    documents table — no driver text fetch) and broadcast as hashed
+    sorted-unique shingle arrays; the pair verify runs vectorized per
+    batch over the candidate Dataset.  ``max_block`` caps band-bucket
+    size — over-cap buckets are salted into capped sub-chunks + bridges
+    (connectivity-preserving, intentionally PARTIAL pair list), so for
+    exact all-pairs oracle parity pass an effectively-unbounded value."""
     import ray
     import ray.data as rd
 
@@ -522,47 +695,28 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = 0.8, shingle: int = 3
     if not needed:
         return out_schema.empty_table()
 
-    # hashed gram sets for candidate docs only (predicate-pushdown read)
-    import pyarrow.dataset as pads
-
-    t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
-        columns=["doc_id", "text"], filter=pads.field("doc_id").isin(needed)
-    )
-    gram_sets: dict[int, np.ndarray] = {}
-    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        words = _simple_words(text)
-        grams = sorted(
-            {" ".join(words[i : i + shingle]) for i in range(len(words) - shingle + 1)}
-        )
-        gram_sets[did] = np.unique(poly_hash_u64(grams)) if grams else np.empty(0, np.uint64)
-    sets_ref = ray.put(gram_sets)
+    # distributed exact verify (round-3 VERDICT top item): hashed gram
+    # sets built cluster-side via the broadcast-id filter — no fallback
+    # (gram-less docs have empty sets and never pair, the all-pairs
+    # ngram-Jaccard oracle semantics) — then a vectorized per-batch
+    # pair intersection.  No driver text fetch, no per-pair Python.
+    gram_ref = _candidate_gram_lookup(sf_dir, needed, shingle, fallback=False)
 
     def verify(tb: pa.Table) -> pa.Table:
-        gs = ray.get(sets_ref)
-        da = tb["doc_a"].to_pylist()
-        db = tb["doc_b"].to_pylist()
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(da, db):
-            sa, sb = gs[a], gs[b]
-            union = len(sa) + len(sb)
-            if union == 0:
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            j = inter / (union - inter)
-            if j >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(j)
+        inter, union = _pair_set_overlap(tb, ray.get(gram_ref))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+        keep = (union > 0) & (j >= threshold)
         return pa.table(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(round_half_up(np.asarray(out_j, np.float64), 4)),
+                "doc_a": tb["doc_a"].filter(pa.array(keep)),
+                "doc_b": tb["doc_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(round_half_up(j[keep], 4), pa.float64()),
             }
         )
 
     return _collect_table(
-        cand.map_batches(verify, batch_format="pyarrow"), out_schema
+        cand.map_batches(verify, batch_format="pyarrow", batch_size=2048), out_schema
     ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
@@ -640,7 +794,8 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_block: int = 200):
     cand = (
         sh.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
-        .map_groups(_pairs_from_group, batch_format="pyarrow", fn_kwargs={"max_block": max_block})
+        .map_groups(_pairs_from_group, batch_format="pyarrow",
+                    fn_kwargs={"max_block": max_block, "salt": True})
         .groupby(["doc_a", "doc_b"])  # dedupe pairs found in multiple bands
         .aggregate(Count(alias_name="n_bands"))
         .materialize()
