@@ -53,12 +53,14 @@ _URL_EXCLUDED = {"t.co", "https", "http", "html", "t", "twitter.com", "web", "st
 
 class ReferenceTokenizer:
     def __init__(self, stemming: bool = False, lemmatization: bool = False):
-        if lemmatization:
-            raise NotImplementedError(
-                "P17 lemmatization needs spaCy en_core_web_sm (parser_module.py:226-237), "
-                "not available in this container; use stemming=True instead"
-            )
+        # P17: the reference lemmatizes per token with spaCy
+        # (parser_module.py:226-237, stem has PRIORITY over lemma);
+        # spaCy is absent from this container, so the vendored
+        # morphy-style rule lemmatizer stands in (functions/
+        # lemmatizer.py — the Porter2/P16 precedent, adaptations
+        # documented there)
         self.stemming = stemming
+        self.lemmatization = lemmatization and not stemming
         self.re_curse = re.compile(r"[a-zA-Z]\*+[a-zA-Z]*")
         self.re_tweet_id = re.compile(r"\d{19,20}")
         self.re_special = re.compile(
@@ -227,6 +229,17 @@ class ReferenceTokenizer:
                 stemmed[sw] = stemmed.get(sw, 0) + c
             # entity surface forms are preserved under stemming
             counts = stemmed
+        elif self.lemmatization:
+            # P17 (parser_module.py:226-237): lemmatize each token key,
+            # re-accumulating counts on the lemma.  Entity surfaces are
+            # preserved, mirroring the stemming path's treatment.
+            from .lemmatizer import lemmatize
+
+            lemmed: dict[str, int] = {}
+            for w, c in counts.items():
+                lw = w if w in entities else lemmatize(w)
+                lemmed[lw] = lemmed.get(lw, 0) + c
+            counts = lemmed
         return counts, entities
 
     # ------------------------------------------------------------------

@@ -23,15 +23,32 @@ _BM25_TERM = (
 )
 _INNER_TERM = f"{_NTF} * log10(s.n_docs::DOUBLE / d.df)"
 
-SEARCH_PREFIX = (
-    "WITH "
-    + TRANSCRIPTS_CTE.strip().rstrip(",")
-    + ",\n"
-    + sql_tokens_cte("transcripts").strip()
-    + """,
+def _search_prefix(lemma: bool = False) -> str:
+    """The shared CTE prefix (transcripts → tokens → tf/docstats/stats/df).
+    With ``lemma=True`` the token stream is lemma-folded through the
+    vendored rule lemmatizer's SQL twin (P17, ``simple_lemma`` profile)
+    before tf — the exact order the engine applies it in
+    ``TokenizeStage._simple_flat``."""
+    term_src = "tokens"
+    lemma_cte = ""
+    if lemma:
+        from ..functions.lemmatizer import sql_lemma_expr
+
+        term_src = "ltokens"
+        lemma_cte = f""",
+ltokens AS (
+    SELECT conv_id, turn_idx, {sql_lemma_expr('term')} AS term FROM tokens
+)"""
+    return (
+        "WITH "
+        + TRANSCRIPTS_CTE.strip().rstrip(",")
+        + ",\n"
+        + sql_tokens_cte("transcripts").strip()
+        + lemma_cte
+        + f""",
 tf AS (
     SELECT conv_id, turn_idx, term, count(*)::BIGINT AS tf
-    FROM tokens GROUP BY conv_id, turn_idx, term
+    FROM {term_src} GROUP BY conv_id, turn_idx, term
 ),
 docstats AS (
     SELECT conv_id, turn_idx, sum(tf)::BIGINT AS doc_len,
@@ -49,12 +66,20 @@ df AS (
     FROM tf GROUP BY term
 )
 """
-)
+    )
+
+
+SEARCH_PREFIX = _search_prefix()
 
 # The fixed conformance query (all terms distinct, none stopworded, so
 # every q_tf = 1 — mirrors reference searcher.py:69-72).
 SEARCH_QUERY_TEXT = "spark join fast table"
 _QTERMS = ", ".join(f"('{t}')" for t in SEARCH_QUERY_TEXT.split())
+
+# P17 conformance query: inflected forms that only match through the
+# lemmatizer ("sparks"→spark, "joining"→join, "tables"→table) plus one
+# exception-table hit ("data"→datum, which also folds the DOC tokens).
+LEMMA_QUERY_TEXT = "sparks joining tables data"
 
 # Q15/Q16 synonym expansion twin: q_expanded_search expands with
 # SynonymExpansion({"spark": ["stream"], "table": ["row"]}, weight=0.2).
@@ -156,6 +181,42 @@ _PART_A_SCORE = (
     "ELSE 0 END)"
     " + 0.5 * c.inner_p"
 )
+
+
+def _lemma_search_sql() -> str:
+    """blend top-10 on the lemma-folded index (simple_lemma profile):
+    the whole prefix re-derives tf/df over lemmatized tokens and the
+    query terms pass through the same SQL lemma expression."""
+    from ..functions.lemmatizer import sql_lemma_expr
+
+    qvals = ", ".join(f"('{t}')" for t in LEMMA_QUERY_TEXT.split())
+    cand = f"""
+qraw(raw) AS (VALUES {qvals}),
+qterms AS (SELECT {sql_lemma_expr('raw')} AS term FROM qraw),
+cand AS (
+    SELECT tf.conv_id, tf.turn_idx,
+           sum({_BM25_TERM}) AS bm25,
+           sum({_INNER_TERM}) AS inner_p
+    FROM tf
+    JOIN qterms q ON tf.term = q.term
+    JOIN df d ON d.term = tf.term
+    JOIN docstats ds ON ds.conv_id = tf.conv_id AND ds.turn_idx = tf.turn_idx
+    CROSS JOIN stats s
+    GROUP BY tf.conv_id, tf.turn_idx
+)
+"""
+    blend = "0.9 * c.bm25 + 0.1 * c.inner_p"
+    return (
+        _search_prefix(lemma=True)
+        + ", "
+        + cand
+        + f"""
+SELECT c.conv_id, c.turn_idx, {sql_round_half_up(blend, 4)} AS score
+FROM cand c
+ORDER BY floor(({blend}) * 1000000 + 0.5) DESC, c.conv_id, c.turn_idx
+LIMIT 10
+"""
+    )
 
 
 def search_core_sql() -> dict[str, str]:
@@ -295,6 +356,7 @@ LIMIT 10
 """,
         "inner_topk": _topk_sql("c.inner_p"),
         "blend_topk": _topk_sql(blend),
+        "lemma_search": _lemma_search_sql(),
         "role_filter_search": _topk_sql(
             blend,
             extra_join="JOIN transcripts t ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx",

@@ -289,7 +289,7 @@ def _df_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-def tfidf_keywords(sf_dir: str, k: int = 5):
+def tfidf_keywords(sf_dir: str, k: int = 5, driver_cap: int | None = None):
     """→ (doc_id, term, rank, score): each document's top-``k`` keywords
     by ``tf · log10(N/df)`` (rank 1 = best; ties broken by the shared
     1e-6 rounded score then term ascending, so the Ray and SQL sides
@@ -301,28 +301,40 @@ def tfidf_keywords(sf_dir: str, k: int = 5):
     broadcast via the object store; (2) per-batch ``tf·idf`` scoring +
     per-doc top-k selection inside ``map_batches`` — document text never
     shuffles, and the only reduce is over the vocabulary, not the
-    corpus."""
+    corpus.
+
+    When the vocabulary exceeds ``driver_cap`` rows (default
+    ``$GRAFT_DF_BROADCAST_CAP`` or 2M — the 10^12-turn TODO from
+    BASELINE.md) the broadcast is replaced by a TERM JOIN: the
+    (doc_id, term, tf) rows shuffle once on term to pick up df, then
+    once on doc_id for the top-k — document text still never moves,
+    and no single process ever holds the vocabulary."""
+    import os as _os
+
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    if driver_cap is None:
+        driver_cap = int(_os.environ.get("GRAFT_DF_BROADCAST_CAP", "2000000"))
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("term", pa.string()),
+         ("rank", pa.int64()), ("score", pa.float64())]
+    )
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_docs = ds.count()  # parquet metadata count — no scan
-    df_rows = [
-        t
-        for t in ray.get(
-            ds.map_batches(_df_partial, batch_format="pyarrow")
-            .groupby("term")
-            .aggregate(Sum("partial_df", alias_name="df"))
-            .to_arrow_refs()
-        )
-        if t.num_rows
-    ]
+    df_agg = (
+        ds.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("partial_df", alias_name="df"))
+        .materialize()
+    )
+    if df_agg.count() > driver_cap:
+        return _tfidf_keywords_join(ds, df_agg, n_docs, k, out_schema)
+    df_rows = [t for t in ray.get(df_agg.to_arrow_refs()) if t.num_rows]
     if not df_rows:
-        return pa.schema(
-            [("doc_id", pa.int64()), ("term", pa.string()),
-             ("rank", pa.int64()), ("score", pa.float64())]
-        ).empty_table()
+        return out_schema.empty_table()
     df_tbl = pa.concat_tables(df_rows).sort_by("term")  # sorted ⇒ index = lex rank
     vocab = df_tbl["term"].combine_chunks()
     dfv = df_tbl["df"].to_numpy().astype(np.float64)
@@ -357,3 +369,74 @@ def tfidf_keywords(sf_dir: str, k: int = 5):
         )
 
     return ds.map_batches(topk, batch_format="pyarrow")
+
+
+def _tfidf_keywords_join(ds, df_agg, n_docs: int, k: int, out_schema: pa.Schema):
+    """Vocabulary-too-big-to-broadcast path of ``tfidf_keywords``: a
+    union + groupby(term) attaches df to the exploded (doc_id, term, tf)
+    rows (Ray Data's join, without materializing either side), then a
+    groupby(doc_id) selects each doc's top-k with the same
+    (1e-6-rounded score desc, term asc) tie-break as the broadcast
+    path — bit-identical output, two shuffles of token ROWS only."""
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, terms, tf = _doc_term_rows(batch)
+        return pa.table(
+            {
+                "term": terms,
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "tf": pa.array(tf, pa.int64()),
+            }
+        )
+
+    def df_rows(batch: pa.Table) -> pa.Table:
+        # df carrier rows: doc_id = -1 marks them inside the term group
+        return pa.table(
+            {
+                "term": batch["term"],
+                "doc_id": pa.array(np.full(batch.num_rows, -1), pa.int64()),
+                "tf": batch["df"].cast(pa.int64()),
+            }
+        )
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy()
+        tf = group["tf"].to_numpy()
+        is_df = doc == -1
+        dfv = float(tf[is_df][0])
+        score = tf[~is_df].astype(np.float64) * np.log10(n_docs / dfv)
+        terms = group["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        keep = pa.array(np.flatnonzero(~is_df), pa.int64())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[~is_df], pa.int64()),
+                "term": terms.take(keep),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
+
+    def doc_topk(group: pa.Table) -> pa.Table:
+        score = group["score"].to_numpy()
+        terms = group["term"].to_numpy(zero_copy_only=False)
+        rounded = np.floor(score * 1_000_000 + 0.5).astype(np.int64)
+        order = np.lexsort((terms, -rounded))[:k]
+        return pa.table(
+            {
+                "doc_id": group["doc_id"].take(pa.array(order, pa.int64())),
+                "term": group["term"].take(pa.array(order, pa.int64())),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+                "score": pa.array(round_half_up(score[order], 4), pa.float64()),
+            }
+        )
+
+    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow")
+    dfc = df_agg.map_batches(df_rows, batch_format="pyarrow")
+    return (
+        tf_ds.union(dfc)
+        .groupby("term")
+        .map_groups(attach_df, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(doc_topk, batch_format="pyarrow")
+    )

@@ -669,13 +669,40 @@ def _corpus_stats(index_dir: str, profile_name: str, n_shards: int) -> dict:
     }
 
 
-def compute_doc_weights(index_dir: str) -> str:
+# per-process cache of one posting shard's dictionary slice (the
+# shard-aligned join path of compute_doc_weights): a worker touches only
+# the shards whose postings files it maps, so memory stays ~vocab/n_shards
+_DICT_SHARD_CACHE: dict = {}
+
+
+def _dict_shard_df(dict_dir: str, shard: int) -> dict:
+    key = (dict_dir, shard)
+    if key not in _DICT_SHARD_CACHE:
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(dict_dir).to_table(
+            columns=["term", "df"], filter=pads.field("shard") == shard
+        )
+        _DICT_SHARD_CACHE[key] = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+    return _DICT_SHARD_CACHE[key]
+
+
+def compute_doc_weights(index_dir: str, driver_cap: int | None = None) -> str:
     """Second corpus pass (reference I6, ``search_engine_2.py:90-105``):
     per-doc Σ(norm_tf·idf10)² with idf10 = log10(N/df).  Emitted once,
     rounded to 3 decimals at the end (the reference rounds after every
     accumulation, an order-dependent quirk we deliberately drop — the
     value only feeds the cosine term whose blend weight is 0).
-    """
+
+    Up to ``driver_cap`` dictionary rows (default
+    ``$GRAFT_DF_BROADCAST_CAP`` or 2M) the term→df map is one
+    ``ray.put`` broadcast.  Beyond it — the 10^12-turn vocabulary the
+    round-2 BASELINE TODO named — the pass becomes a SHARD-ALIGNED
+    MAP-SIDE JOIN with zero extra shuffle: postings are already
+    hive-partitioned by the crc32 term shard and a term's dictionary
+    row lives in exactly that shard, so each batch loads (per-process
+    cached) only its own shard's dictionary slice.  Per-worker memory
+    is ~vocab/n_shards, and n_shards scales with the corpus."""
     import pyarrow.dataset as pads
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -686,18 +713,35 @@ def compute_doc_weights(index_dir: str) -> str:
         n_docs = json.load(f)["n_docs"]
     import ray
 
-    dic = pads.dataset(os.path.join(index_dir, "dictionary")).to_table(columns=["term", "df"])
-    # term → global df lookup: ray.put ONCE into the object store and
-    # fetched zero-copy-shared per worker — not a closure dict re-pickled
-    # into every task (at 10^12-term vocab this becomes a
-    # chunks⋈dictionary hash join on term instead)
-    df_ref = ray.put(dict(zip(dic["term"].to_pylist(), dic["df"].to_pylist())))
+    if driver_cap is None:
+        driver_cap = int(os.environ.get("GRAFT_DF_BROADCAST_CAP", "2000000"))
+    dict_dir = os.path.join(index_dir, "dictionary")
+    use_join = pads.dataset(dict_dir).count_rows() > driver_cap
+    if use_join:
+        df_ref = None
+    else:
+        dic = pads.dataset(dict_dir).to_table(columns=["term", "df"])
+        # term → global df lookup: ray.put ONCE into the object store and
+        # fetched zero-copy-shared per worker — not a closure dict
+        # re-pickled into every task
+        df_ref = ray.put(dict(zip(dic["term"].to_pylist(), dic["df"].to_pylist())))
 
     def explode_w2(batch: pa.Table) -> pa.Table:
-        df_map = ray.get(df_ref)
+        if df_ref is not None:
+            df_of = ray.get(df_ref).__getitem__
+        else:
+            shards = np.unique(batch["shard"].to_numpy())
+            maps = [_dict_shard_df(dict_dir, int(s)) for s in shards]
+
+            def df_of(term, _maps=maps):
+                for m in _maps:  # almost always exactly one shard per batch
+                    if term in m:
+                        return m[term]
+                raise KeyError(term)
+
         ids_all, w2_all = [], []
         for df, run in zip(
-            (df_map[t] for t in batch["term"].to_pylist()), batch["run"].to_pylist()
+            (df_of(t) for t in batch["term"].to_pylist()), batch["run"].to_pylist()
         ):
             ids, tfs, lens = decode_postings(run)
             w = (tfs / lens) * np.log10(n_docs / df)
@@ -717,8 +761,9 @@ def compute_doc_weights(index_dir: str) -> str:
     import shutil as _sh
 
     _sh.rmtree(out_dir, ignore_errors=True)
+    cols = ["term", "run"] + (["shard"] if use_join else [])
     (
-        rd.read_parquet(os.path.join(index_dir, "postings"), columns=["term", "run"])
+        rd.read_parquet(os.path.join(index_dir, "postings"), columns=cols)
         .map_batches(explode_w2, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Sum("w2", alias_name="doc_weight_sq"))

@@ -840,38 +840,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_block: int = 200):
 # near-duplicate clusters (connected components over verified pairs)
 # ---------------------------------------------------------------------------
 
-def dedup_clusters(sf_dir: str, threshold: float = 0.8, shingle: int = 3,
-                   bands: int = 32, max_block: int = 10**6):
-    """→ (doc_id, cluster_id, cluster_size, keep) for EVERY document:
-    connected components of the verified near-dup graph, edges =
-    ``minhash_verified_pairs`` (exact word-``shingle``-gram Jaccard ≥
-    ``threshold`` on LSH-proposed candidates).  ``cluster_id`` = min
-    doc_id in the component; singletons are their own cluster;
-    ``keep`` marks the canonical representative — filtering on it is
-    the standard "drop near-duplicates, keep one per cluster" step.
-
-    Distribution: the edge list comes from the fully distributed
-    LSH+verify pipeline and is candidate-sized by construction (the
-    same bound the verify step already relies on), so the union-find
-    runs on the driver over PAIRS ONLY — O(edges) memory, never
-    O(docs).  The resulting (dup-doc → cluster) map is broadcast via
-    ``ray.put`` and applied as a vectorized searchsorted lookup inside
-    ``map_batches``; the documents table itself never leaves the
-    cluster.  At edge counts that outgrow one machine this becomes a
-    distributed label-propagation loop (iterate groupby-min over the
-    edge Dataset until fixpoint) — same output, more shuffles.
-
-    Oracle note: the SQL twin takes ALL J≥threshold pairs as edges
-    (recursive closure); parity holds because LSH candidate recall at
-    J≥0.8 is complete up to the documented 5·10⁻⁸ band-miss odds —
-    identical to the accepted ``minhash_verified_pairs`` argument."""
-    import ray
-    import ray.data as rd
-
-    pairs = minhash_verified_pairs(
-        sf_dir, threshold=threshold, shingle=shingle, bands=bands, max_block=max_block
-    )
-
+def _cc_driver(pairs: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side union-find over the PAIR list → (node keys sorted,
+    cluster label per key).  O(edges) memory, never O(docs)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -887,24 +858,150 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, shingle: int = 3,
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)  # union by min id
 
-    # every node of the pair graph appears as a parent key or value, and
-    # each is appended exactly once — roots included (find(root) == root)
-    members: dict[int, list[int]] = {}
-    for x in set(parent) | set(parent.values()):
-        members.setdefault(find(x), []).append(x)
-    keys, clusters, sizes = [], [], []
-    for mem in members.values():
-        mem.sort()
-        for x in mem:
-            keys.append(x)
-            clusters.append(mem[0])
-            sizes.append(len(mem))
-    order = np.argsort(np.asarray(keys, dtype=np.int64)) if keys else np.empty(0, np.int64)
-    lookup_ref = ray.put((
-        np.asarray(keys, dtype=np.int64)[order] if keys else np.empty(0, np.int64),
-        np.asarray(clusters, dtype=np.int64)[order] if keys else np.empty(0, np.int64),
-        np.asarray(sizes, dtype=np.int64)[order] if keys else np.empty(0, np.int64),
-    ))
+    # every node of the pair graph appears as a parent key or value
+    nodes = sorted(set(parent) | set(parent.values()))
+    keys = np.asarray(nodes, dtype=np.int64)
+    labels = np.asarray([find(x) for x in nodes], dtype=np.int64)
+    return keys, labels
+
+
+_CC_BUCKETS = 64
+
+
+def _cc_round_bucket(g: pa.Table) -> pa.Table:
+    """One hash-to-min round over ONE coarse bucket of node-groups,
+    fully vectorized (the per-NODE map_groups variant creates a
+    10k-tiny-block storm; bucketing by u%%B keeps every u's rows
+    together while giving Ray ~B well-sized groups per round).
+
+    Within the bucket: merge self-loops, dedupe (u, v), find each u's
+    member segment, m = min(members); emit (s, m) and (m, s) for every
+    member s — the Rastogi et al. hash-to-min messages."""
+    u = np.append(g["u"].to_numpy(), g["u"].to_numpy())
+    v = np.append(g["v"].to_numpy(), g["u"].to_numpy())  # self-loops
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    keep = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+    u, v = u[keep], v[keep]
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    lens = np.diff(np.r_[starts, len(u)])
+    m = np.repeat(np.minimum.reduceat(v, starts), lens)
+    new_u = np.concatenate([v, m])
+    new_v = np.concatenate([m, v])
+    return pa.table(
+        {
+            "bucket": pa.array((new_u % _CC_BUCKETS).astype(np.int32), pa.int32()),
+            "u": pa.array(new_u, pa.int64()),
+            "v": pa.array(new_v, pa.int64()),
+        }
+    )
+
+
+def _cc_distributed(pairs: pa.Table, max_rounds: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed connected components: hash-to-min label propagation
+    (Rastogi et al., "Finding Connected Components in Map-Reduce")
+    iterated as Ray Data groupbys over the cluster-set Dataset until
+    fixpoint — the scale path for edge sets that outgrow one machine.
+
+    State = rows (u, v) meaning v ∈ C(u), initialised to the edge list
+    (both directions); self-loops are re-merged every round.  Each
+    round every node u computes m = min(C(u) ∪ {u}) and sends {m} to
+    every member and the member list to m — the min label's reach
+    doubles per round, so convergence takes O(log n) rounds even on
+    path graphs.  Rounds shuffle on a COARSE u-bucket (u %% 64) and
+    process each bucket vectorized.  Fixpoint detection compares
+    (row count, order-free splitmix checksum) of the emitted state
+    across rounds.  → same (keys, labels) as ``_cc_driver``."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    if not len(a):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    u0 = np.concatenate([a, b])
+    v0 = np.concatenate([b, a])
+    cur = rd.from_arrow(pa.table({
+        "bucket": pa.array((u0 % _CC_BUCKETS).astype(np.int32), pa.int32()),
+        "u": pa.array(u0, pa.int64()),
+        "v": pa.array(v0, pa.int64()),
+    }))
+
+    def checksum(t: pa.Table) -> pa.Table:
+        h = splitmix64(
+            t["u"].to_numpy().view(np.uint64)
+            ^ splitmix64(t["v"].to_numpy().view(np.uint64))
+        )
+        # order-free wrap-mod-2^64 partial sum, int64-reinterpreted
+        part = int(h.sum(dtype=np.uint64).astype(np.int64))
+        return pa.table({"sig": pa.array([part], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    prev = None
+    for _ in range(max_rounds):
+        cur = (
+            cur.groupby("bucket")
+            .map_groups(_cc_round_bucket, batch_format="pyarrow")
+            .materialize()
+        )
+        parts = [t for t in ray.get(
+            cur.map_batches(checksum, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows]
+        sig = (sum(int(x) for t in parts for x in t["sig"].to_pylist())
+               & 0xFFFFFFFFFFFFFFFF,
+               sum(int(x) for t in parts for x in t["n"].to_pylist()))
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError("hash-to-min did not converge within max_rounds")
+
+    lbl = _collect_table(
+        cur.groupby("u").aggregate(Min("v", alias_name="label")),
+        pa.schema([("u", pa.int64()), ("label", pa.int64())]),
+    ).sort_by("u")
+    return lbl["u"].to_numpy(), lbl["label"].to_numpy()
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.8, shingle: int = 3,
+                   bands: int = 32, max_block: int = 10**6,
+                   distributed: bool = False):
+    """→ (doc_id, cluster_id, cluster_size, keep) for EVERY document:
+    connected components of the verified near-dup graph, edges =
+    ``minhash_verified_pairs`` (exact word-``shingle``-gram Jaccard ≥
+    ``threshold`` on LSH-proposed candidates).  ``cluster_id`` = min
+    doc_id in the component; singletons are their own cluster;
+    ``keep`` marks the canonical representative — filtering on it is
+    the standard "drop near-duplicates, keep one per cluster" step.
+
+    Distribution: the edge list comes from the fully distributed
+    LSH+verify pipeline and is candidate-sized by construction.  By
+    default the components are solved with a driver-side union-find
+    over PAIRS ONLY (O(edges) memory, never O(docs)); with
+    ``distributed=True`` the same labels come from the hash-to-min
+    label-propagation loop run as Ray Data groupbys
+    (``_cc_distributed``) — the path for edge sets that outgrow one
+    machine.  Either way the resulting (dup-doc → cluster) map is
+    broadcast via ``ray.put`` and applied as a vectorized searchsorted
+    lookup inside ``map_batches``; the documents table itself never
+    leaves the cluster.
+
+    Oracle note: the SQL twin takes ALL J≥threshold pairs as edges
+    (recursive closure); parity holds because LSH candidate recall at
+    J≥0.8 is complete up to the documented 5·10⁻⁸ band-miss odds —
+    identical to the accepted ``minhash_verified_pairs`` argument."""
+    import ray
+    import ray.data as rd
+
+    pairs = minhash_verified_pairs(
+        sf_dir, threshold=threshold, shingle=shingle, bands=bands, max_block=max_block
+    )
+
+    keys, labels = (_cc_distributed if distributed else _cc_driver)(pairs)
+    # cluster sizes over the dup-node set (keys are sorted)
+    uniq, inv, cnt = np.unique(labels, return_inverse=True, return_counts=True)
+    lookup_ref = ray.put((keys, labels, cnt[inv].astype(np.int64)))
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 

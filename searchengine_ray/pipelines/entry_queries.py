@@ -41,7 +41,16 @@ def index_for(sf_dir: str, profile: str = "simple") -> str:
 
 
 def engine_for(sf_dir: str, profile: str = "simple") -> QueryEngine:
-    idx = index_for(sf_dir)  # scoring profiles share the "simple" index
+    from ..profiles import get_profile
+
+    p = get_profile(profile)
+    # scoring-only profiles share the "simple" index (same tokens);
+    # profiles that change the TOKEN STREAM (reference rules, P17
+    # lemmatization) index under their own cache key
+    idx_profile = (
+        profile if (p.tokenizer != "simple" or p.lemmatization) else "simple"
+    )
+    idx = index_for(sf_dir, profile=idx_profile)
     key = (idx, profile)
     if key not in _ENGINES:
         _ENGINES[key] = QueryEngine(idx, profile=profile)
@@ -135,6 +144,15 @@ def q_blend_topk(sf_dir: str) -> pa.Table:
 
 def q_role_filter_search(sf_dir: str) -> pa.Table:
     return _q_search(sf_dir, "simple", role="user")
+
+
+def q_lemma_search(sf_dir: str) -> pa.Table:
+    """P17: blend search over the lemma-folded index (simple_lemma
+    profile — vendored rule lemmatizer on both doc and query tokens)."""
+    from ..oracle.sql import LEMMA_QUERY_TEXT
+
+    eng = engine_for(sf_dir, profile="simple_lemma")
+    return _round_score(eng.search(LEMMA_QUERY_TEXT, k=10))
 
 
 def q_part_a_blend_topk(sf_dir: str) -> pa.Table:
@@ -333,6 +351,7 @@ SEARCH_CORE_QUERIES = {
     "inner_topk": q_inner_topk,
     "blend_topk": q_blend_topk,
     "role_filter_search": q_role_filter_search,
+    "lemma_search": q_lemma_search,
     "part_a_blend_topk": q_part_a_blend_topk,
     "expanded_search": q_expanded_search,
     "conversation_search": q_conversation_search,

@@ -44,7 +44,10 @@ class QueryEngine:
         if self.profile.tokenizer == "reference":
             from ..functions.reference_tokenizer import ReferenceTokenizer
 
-            self._ref_tok = ReferenceTokenizer(stemming=self.profile.stemming)
+            self._ref_tok = ReferenceTokenizer(
+                stemming=self.profile.stemming,
+                lemmatization=self.profile.lemmatization,
+            )
         # per-term static score arrays (ids, ntf, bm25 element scores) —
         # query-independent for a fixed profile, so hot terms score with
         # two bincounts and zero recomputed math
@@ -72,6 +75,10 @@ class QueryEngine:
             from ..functions.tokenize import simple_tokenize_flat
 
             _, flat = simple_tokenize_flat(pa.array([query], type=pa.string()))
+            if self.profile.lemmatization:  # P17: query terms lemmatize too
+                from ..functions.lemmatizer import lemmatize_array
+
+                flat = lemmatize_array(flat)
             raw = {}
             for t in flat.to_pylist():
                 raw[t] = raw.get(t, 0.0) + 1.0

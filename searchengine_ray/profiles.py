@@ -28,9 +28,13 @@ class Profile:
     case_folding: bool = False  # reference I2 capital-letter rule
     entity_rule: bool = False   # reference P15 ≥2-docs entity rule (order-free)
     stemming: bool = False      # reference P16 (Snowball rules subset)
+    lemmatization: bool = False  # reference P17 (vendored morphy-style rules)
 
 
 SIMPLE = Profile(name="simple", tokenizer="simple")
+# P17 lemma variant of the simple profile (vendored rule lemmatizer —
+# functions/lemmatizer.py; spaCy absent, same treatment as Porter2/P16)
+SIMPLE_LEMMA = Profile(name="simple_lemma", tokenizer="simple", lemmatization=True)
 SIMPLE_BM25 = Profile(name="simple_bm25", tokenizer="simple", w_bm25=1.0, w_inner=0.0)
 SIMPLE_INNER = Profile(name="simple_inner", tokenizer="simple", w_bm25=0.0, w_inner=1.0)
 # Part A blend (reference Part A/ranker.py:26): 0.5·cosine + 0.5·inner
@@ -45,9 +49,16 @@ REFERENCE_STEM = Profile(
     name="reference_stem", tokenizer="reference", case_folding=True,
     entity_rule=True, stemming=True,
 )
+# P17 lemma variant (reference parser_module.py:226-237; stem has priority
+# over lemma in the reference, so the two flags are mutually exclusive)
+REFERENCE_LEMMA = Profile(
+    name="reference_lemma", tokenizer="reference", case_folding=True,
+    entity_rule=True, lemmatization=True,
+)
 PROFILES = {
     p.name: p
-    for p in (SIMPLE, SIMPLE_BM25, SIMPLE_INNER, SIMPLE_PART_A, REFERENCE, REFERENCE_STEM)
+    for p in (SIMPLE, SIMPLE_LEMMA, SIMPLE_BM25, SIMPLE_INNER, SIMPLE_PART_A,
+              REFERENCE, REFERENCE_STEM, REFERENCE_LEMMA)
 }
 
 

@@ -53,7 +53,10 @@ class TokenizeStage:
         if self.profile.tokenizer == "reference":
             from ..functions.reference_tokenizer import ReferenceTokenizer
 
-            self._ref = ReferenceTokenizer(stemming=self.profile.stemming)
+            self._ref = ReferenceTokenizer(
+                stemming=self.profile.stemming,
+                lemmatization=self.profile.lemmatization,
+            )
 
     # ------------------------------------------------------------------
     def __call__(self, tbl: pa.Table) -> pa.Table:
@@ -67,6 +70,10 @@ class TokenizeStage:
     def _simple_flat(self, tbl):
         """Vectorized: flat tokens → per-(row, term) tf via Arrow group_by."""
         parent, flat = simple_tokenize_flat(tbl["text"])
+        if self.profile.lemmatization:  # P17 over the simple tokens
+            from ..functions.lemmatizer import lemmatize_array
+
+            flat = lemmatize_array(flat)
         sub = pa.table({"row": pa.array(parent, type=pa.int64()), "term": flat})
         agg = sub.group_by(["row", "term"]).aggregate([([], "count_all")])
         rows = agg["row"].to_numpy()

@@ -357,6 +357,41 @@ def test_dedup_clusters_planted(planted_dir):
     assert (rest.cluster_size == 1).all() and rest.keep.all()
 
 
+def test_cc_distributed_matches_driver_on_chain():
+    """Distributed hash-to-min label propagation (dedup_clusters
+    distributed=True path) on a planted 10k-edge chain: one component,
+    min-id labels, identical to the driver union-find."""
+    n_edges = 10_000
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(np.arange(n_edges, dtype=np.int64), pa.int64()),
+            "doc_b": pa.array(np.arange(1, n_edges + 1, dtype=np.int64), pa.int64()),
+        }
+    )
+    # add a second, disjoint component + a singleton-free sanity edge
+    extra = pa.table(
+        {
+            "doc_a": pa.array([20_000, 20_001], pa.int64()),
+            "doc_b": pa.array([20_001, 20_002], pa.int64()),
+        }
+    )
+    pairs = pa.concat_tables([pairs, extra])
+    kd, ld = dedup._cc_driver(pairs)
+    kx, lx = dedup._cc_distributed(pairs)
+    assert np.array_equal(kd, kx)
+    assert np.array_equal(ld, lx)
+    assert (ld[kd <= n_edges] == 0).all()
+    assert (ld[kd >= 20_000] == 20_000).all()
+
+
+def test_dedup_clusters_distributed_equals_default(planted_dir):
+    a = dedup.dedup_clusters(planted_dir, threshold=0.8).to_pandas()
+    b = dedup.dedup_clusters(planted_dir, threshold=0.8, distributed=True).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_dedup_clusters_transitive(tmp_path):
     """a~b and b~c but a!~c directly: one cluster via transitivity."""
     base = " ".join(f"w{i}" for i in range(40))
@@ -432,6 +467,11 @@ def test_tfidf_keywords_ranks_rare_terms(tmp_path):
     # docs of only corpus-wide terms still emit k rows (score 0, term-asc ties)
     d1 = res[res.doc_id == 1].sort_values("rank")
     assert list(d1.term) == ["alpha", "beta"]
+    # term-join fallback (driver_cap=1 forces it): identical output
+    joined = analysis.tfidf_keywords(str(tmp_path), k=2, driver_cap=1).to_pandas()
+    cols = ["doc_id", "rank"]
+    assert (res.sort_values(cols).reset_index(drop=True)
+            .equals(joined.sort_values(cols).reset_index(drop=True)))
 
 
 def test_dedup_family_unicode_case_parity(tmp_path):
