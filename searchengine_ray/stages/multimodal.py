@@ -2,12 +2,15 @@
 metadata, decoded by actor-pool stages.
 
 The image/audio libraries are not available in this container, so the
-decode step is STUBBED: ``mode="fake"`` computes deterministic metadata
-(byte length, md5, synthetic dimensions) from the payload bytes;
-``mode="real"`` raises NotImplementedError at the exact point a Pillow/
-ffmpeg call would go.  Everything around the stub — schema (binary
-column + metadata), small batch sizes for large rows, actor signature,
-output layout — is real and tested.
+general decode step is gated: ``mode="fake"`` computes deterministic
+metadata (byte length, md5, synthetic dimensions) from the payload
+bytes; ``mode="real"`` uses Pillow when importable and otherwise falls
+back to the pure-numpy PPM (P6) codec below — so the real compute path
+(decode → pixel work → re-encode) is EXECUTED and tested on generated
+PPM images, and only non-PPM formats raise pending Pillow/ffmpeg.
+Everything around the decode — schema (binary column + metadata), small
+batch sizes for large rows, actor signature, output layout — is real
+either way.
 """
 
 from __future__ import annotations
@@ -16,6 +19,50 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy PPM (P6) codec — the container-independent real-decode path
+# ---------------------------------------------------------------------------
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) → uint8 ndarray [h, w, 3].  Pure numpy: header
+    token parse + one frombuffer reshape (maxval must be < 256)."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval tokens (comments stripped),
+    # then ONE whitespace byte, then raw RGB
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            pos = data.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    w, h, maxval = tokens
+    if maxval >= 256:
+        raise ValueError("16-bit PPM not supported")
+    pos += 1  # single whitespace after maxval
+    pix = np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos)
+    return pix.reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 ndarray [h, w, 3] → binary PPM (P6) bytes."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbour resize as two vectorized index gathers."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[yi][:, xi]
 
 PAYLOAD_SCHEMA = pa.schema(
     [("doc_id", pa.int64()), ("payload", pa.large_binary()), ("media_type", pa.string())]
@@ -45,19 +92,38 @@ class DecodeStage:
             raise ValueError(mode)
         self.mode = mode
 
+    @staticmethod
+    def _decode_real(payload: bytes) -> np.ndarray:
+        """Real pixel decode: Pillow when importable, else the numpy
+        PPM codec; other formats need the absent libraries."""
+        try:
+            from io import BytesIO
+
+            from PIL import Image  # not in this container; real clusters have it
+
+            return np.asarray(Image.open(BytesIO(payload)).convert("RGB"))
+        except ImportError:
+            pass
+        if payload.startswith(b"P6"):
+            return decode_ppm(payload)
+        raise NotImplementedError(
+            "real decode of non-PPM media requires Pillow/ffmpeg, not present "
+            "in this container; PPM payloads decode via the numpy codec"
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.mode == "real":
-            raise NotImplementedError(
-                "real media decode requires Pillow/ffmpeg, not present in this "
-                "container; run with mode='fake' for the deterministic stub"
-            )
         payloads = batch["payload"].to_pylist()
         n_bytes = np.array([len(p) for p in payloads], dtype=np.int64)
         md5s = [hashlib.md5(p).hexdigest() for p in payloads]
-        # synthetic dimensions — pure functions of the byte length so the
-        # DuckDB oracle can reproduce them
-        width = n_bytes % 640 + 1
-        height = (n_bytes * 7) % 480 + 1
+        if self.mode == "real":
+            imgs = [self._decode_real(p) for p in payloads]
+            width = np.array([i.shape[1] for i in imgs], dtype=np.int64)
+            height = np.array([i.shape[0] for i in imgs], dtype=np.int64)
+        else:
+            # synthetic dimensions — pure functions of the byte length so
+            # the DuckDB oracle can reproduce them
+            width = n_bytes % 640 + 1
+            height = (n_bytes * 7) % 480 + 1
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -86,8 +152,10 @@ def multimodal_meta(sf_dir: str):
 class ResizeStage:
     """Image-resize planning stage (actor pool).  The geometry — target
     dims preserving aspect ratio, bounded by ``max_side`` — is computed
-    for real; the pixel work is where a Pillow ``img.resize`` call goes
-    (``mode="real"`` raises there, as in ``DecodeStage``)."""
+    for real; in ``mode="real"`` the batch must carry the ``payload``
+    column and the stage DOES the pixel work (numpy PPM decode →
+    nearest-neighbour gather → PPM re-encode; Pillow when importable),
+    emitting the resized payload alongside the dims."""
 
     def __init__(self, max_side: int = 256, mode: str = "fake"):
         if mode not in ("fake", "real"):
@@ -95,9 +163,40 @@ class ResizeStage:
         self.max_side = max_side
         self.mode = mode
 
+    def _resize_real(self, batch: pa.Table) -> pa.Table:
+        out_rows = {"doc_id": [], "width": [], "height": [],
+                    "out_w": [], "out_h": [], "resized": []}
+        for did, payload in zip(batch["doc_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            img = DecodeStage._decode_real(payload)
+            h, w = img.shape[:2]
+            long_side = max(w, h)
+            if long_side <= self.max_side:
+                ow, oh = w, h
+            else:
+                ow = max(1, (w * self.max_side) // long_side)
+                oh = max(1, (h * self.max_side) // long_side)
+            small = resize_nearest(img, ow, oh)
+            out_rows["doc_id"].append(did)
+            out_rows["width"].append(w)
+            out_rows["height"].append(h)
+            out_rows["out_w"].append(ow)
+            out_rows["out_h"].append(oh)
+            out_rows["resized"].append(encode_ppm(small))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_rows["doc_id"], pa.int64()),
+                "width": pa.array(out_rows["width"], pa.int64()),
+                "height": pa.array(out_rows["height"], pa.int64()),
+                "out_w": pa.array(out_rows["out_w"], pa.int64()),
+                "out_h": pa.array(out_rows["out_h"], pa.int64()),
+                "resized": pa.array(out_rows["resized"], pa.large_binary()),
+            }
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "real":
-            raise NotImplementedError("real resize requires Pillow")
+            return self._resize_real(batch)
         w = batch["width"].to_numpy()
         h = batch["height"].to_numpy()
         long_side = np.maximum(w, h)

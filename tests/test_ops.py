@@ -337,8 +337,56 @@ def test_multimodal_stub(planted_dir):
     row2 = res[res.doc_id == 2].iloc[0]
     assert row.payload_md5 == row2.payload_md5  # identical payloads
     assert row.width == row.n_bytes % 640 + 1
+    # non-PPM real decode still needs the absent media libraries
     with pytest.raises(NotImplementedError):
         DecodeStage("real")(pa.table({"doc_id": pa.array([1]), "payload": pa.array([b"x"], pa.large_binary())}))
+
+
+def test_multimodal_real_decode_and_resize():
+    """mode='real' EXECUTES on generated PPM images (numpy codec):
+    decode → real dims, resize → nearest-neighbour pixels, re-encoded
+    output round-trips — run through an actual Ray actor-pool stage."""
+    import ray.data as rd
+
+    from searchengine_ray.stages.multimodal import (
+        ResizeStage, decode_ppm, encode_ppm, resize_nearest)
+
+    imgs = []
+    for w, h in [(64, 48), (640, 320), (3, 5)]:
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.stack([(x * 255 // max(w - 1, 1)).astype(np.uint8),
+                        (y * 255 // max(h - 1, 1)).astype(np.uint8),
+                        np.full((h, w), 7, np.uint8)], axis=-1)
+        imgs.append(img)
+    payloads = [encode_ppm(i) for i in imgs]
+    # codec round-trip
+    for img, p in zip(imgs, payloads):
+        assert np.array_equal(decode_ppm(p), img)
+    # comment + whitespace tolerant header parse
+    hacked = b"P6\n# a comment\n 64  48\n255\n" + payloads[0].split(b"255\n", 1)[1]
+    assert np.array_equal(decode_ppm(hacked), imgs[0])
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        }
+    )
+    res = (
+        rd.from_arrow(tbl)
+        .map_batches(ResizeStage, fn_constructor_kwargs={"max_side": 100, "mode": "real"},
+                     batch_format="pyarrow", batch_size=2, concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(res.width) == [64, 640, 3] and list(res.height) == [48, 320, 5]
+    assert list(res.out_w) == [64, 100, 3] and list(res.out_h) == [48, 50, 5]
+    # the resized payload decodes and equals the reference numpy resize
+    for i, img in enumerate(imgs):
+        got = decode_ppm(res.resized[i])
+        want = resize_nearest(img, int(res.out_w[i]), int(res.out_h[i]))
+        assert np.array_equal(got, want)
 
 
 def test_dedup_clusters_planted(planted_dir):
