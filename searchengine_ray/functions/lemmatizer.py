@@ -45,7 +45,7 @@ EXCEPTIONS: dict[str, str] = {
     "am": "be", "is": "be", "are": "be", "was": "be", "were": "be",
     "been": "be", "being": "be",
     "has": "have", "had": "have", "having": "have",
-    "does": "do", "did": "do", "done": "do",
+    "does": "do", "did": "do", "done": "do", "doing": "do",
     # irregular plurals
     "men": "man", "children": "child", "women": "woman", "feet": "foot",
     "teeth": "tooth", "mice": "mouse", "geese": "goose", "oxen": "ox",

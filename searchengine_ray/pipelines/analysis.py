@@ -371,18 +371,37 @@ def tfidf_keywords(sf_dir: str, k: int = 5, driver_cap: int | None = None):
     return ds.map_batches(topk, batch_format="pyarrow")
 
 
+_JOIN_BUCKET_VOCAB = 100_000  # terms per term-bucket group
+_JOIN_BUCKET_DOCS = 50_000    # docs per doc-bucket group
+
+
 def _tfidf_keywords_join(ds, df_agg, n_docs: int, k: int, out_schema: pa.Schema):
     """Vocabulary-too-big-to-broadcast path of ``tfidf_keywords``: a
-    union + groupby(term) attaches df to the exploded (doc_id, term, tf)
-    rows (Ray Data's join, without materializing either side), then a
-    groupby(doc_id) selects each doc's top-k with the same
-    (1e-6-rounded score desc, term asc) tie-break as the broadcast
-    path — bit-identical output, two shuffles of token ROWS only."""
+    union + groupby attaches df to the exploded (doc_id, term, tf) rows
+    (Ray Data's join, without materializing either side), then a second
+    groupby selects each doc's top-k with the same (1e-6-rounded score
+    desc, term asc) tie-break as the broadcast path — bit-identical
+    output, two shuffles of token ROWS only.
+
+    Both groupbys key on a COARSE HASH BUCKET (``hash(term) % B`` /
+    ``doc_id % B``, B sized from the vocab / doc counts) rather than the
+    raw term / doc_id: one vectorized group call per bucket instead of
+    one Python call per term and per document — the same
+    tiny-group-storm fix as ``dedup._cc_round_bucket``.  A single
+    stop-word-grade head term still lands all its rows in one bucket
+    (inherent to any per-term join); the in-bucket work stays one
+    lexsort either way."""
+    from ..functions.hashing import hash_str_u64
+
+    n_tbkt = max(64, int(df_agg.count() // _JOIN_BUCKET_VOCAB) + 1)
+    n_dbkt = max(64, int(n_docs // _JOIN_BUCKET_DOCS) + 1)
 
     def tf_rows(batch: pa.Table) -> pa.Table:
         doc_ids, terms, tf = _doc_term_rows(batch)
         return pa.table(
             {
+                "bkt": pa.array((hash_str_u64(terms.to_numpy(zero_copy_only=False))
+                                 % n_tbkt).astype(np.int32), pa.int32()),
                 "term": terms,
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "tf": pa.array(tf, pa.int64()),
@@ -391,43 +410,65 @@ def _tfidf_keywords_join(ds, df_agg, n_docs: int, k: int, out_schema: pa.Schema)
 
     def df_rows(batch: pa.Table) -> pa.Table:
         # df carrier rows: doc_id = -1 marks them inside the term group
+        terms = batch["term"].combine_chunks() if isinstance(
+            batch["term"], pa.ChunkedArray) else batch["term"]
         return pa.table(
             {
-                "term": batch["term"],
+                "bkt": pa.array((hash_str_u64(terms.to_numpy(zero_copy_only=False))
+                                 % n_tbkt).astype(np.int32), pa.int32()),
+                "term": terms,
                 "doc_id": pa.array(np.full(batch.num_rows, -1), pa.int64()),
                 "tf": batch["df"].cast(pa.int64()),
             }
         )
 
     def attach_df(group: pa.Table) -> pa.Table:
+        """One term-bucket: factorize terms, scatter each term's df
+        carrier into a per-code table, score every token row — all
+        vectorized, no per-term dispatch."""
         doc = group["doc_id"].to_numpy()
         tf = group["tf"].to_numpy()
         is_df = doc == -1
-        dfv = float(tf[is_df][0])
-        score = tf[~is_df].astype(np.float64) * np.log10(n_docs / dfv)
         terms = group["term"]
         if isinstance(terms, pa.ChunkedArray):
             terms = terms.combine_chunks()
+        codes = terms.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df_of_code = np.zeros(int(codes.max()) + 1 if len(codes) else 1, np.float64)
+        df_of_code[codes[is_df]] = tf[is_df]
+        score = tf[~is_df].astype(np.float64) * np.log10(
+            n_docs / df_of_code[codes[~is_df]])
         keep = pa.array(np.flatnonzero(~is_df), pa.int64())
         return pa.table(
             {
+                "dbkt": pa.array((doc[~is_df] % n_dbkt).astype(np.int32), pa.int32()),
                 "doc_id": pa.array(doc[~is_df], pa.int64()),
                 "term": terms.take(keep),
                 "score": pa.array(score, pa.float64()),
             }
         )
 
-    def doc_topk(group: pa.Table) -> pa.Table:
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        """One doc-bucket: segmented per-doc rank over a single lexsort
+        (score desc rounded, term asc), identical tie-break to the
+        broadcast path."""
         score = group["score"].to_numpy()
         terms = group["term"].to_numpy(zero_copy_only=False)
+        doc = group["doc_id"].to_numpy()
         rounded = np.floor(score * 1_000_000 + 0.5).astype(np.int64)
-        order = np.lexsort((terms, -rounded))[:k]
+        order = np.lexsort((terms, -rounded, doc))
+        d = doc[order]
+        newdoc = np.r_[True, d[1:] != d[:-1]]
+        idxs = np.arange(len(d), dtype=np.int64)
+        rank = idxs - np.maximum.accumulate(np.where(newdoc, idxs, 0)) + 1
+        keep = rank <= k
+        sel = pa.array(order[keep], pa.int64())
         return pa.table(
             {
-                "doc_id": group["doc_id"].take(pa.array(order, pa.int64())),
-                "term": group["term"].take(pa.array(order, pa.int64())),
-                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
-                "score": pa.array(round_half_up(score[order], 4), pa.float64()),
+                "doc_id": group["doc_id"].take(sel),
+                "term": group["term"].take(sel),
+                "rank": pa.array(rank[keep], pa.int64()),
+                "score": pa.array(round_half_up(score[order[keep]], 4), pa.float64()),
             }
         )
 
@@ -435,8 +476,8 @@ def _tfidf_keywords_join(ds, df_agg, n_docs: int, k: int, out_schema: pa.Schema)
     dfc = df_agg.map_batches(df_rows, batch_format="pyarrow")
     return (
         tf_ds.union(dfc)
-        .groupby("term")
+        .groupby("bkt")
         .map_groups(attach_df, batch_format="pyarrow")
-        .groupby("doc_id")
-        .map_groups(doc_topk, batch_format="pyarrow")
+        .groupby("dbkt")
+        .map_groups(bucket_topk, batch_format="pyarrow")
     )

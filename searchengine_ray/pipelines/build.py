@@ -24,6 +24,7 @@ import glob
 import json
 import os
 import shutil
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
@@ -671,19 +672,45 @@ def _corpus_stats(index_dir: str, profile_name: str, n_shards: int) -> dict:
 
 # per-process cache of one posting shard's dictionary slice (the
 # shard-aligned join path of compute_doc_weights): a worker touches only
-# the shards whose postings files it maps, so memory stays ~vocab/n_shards
-_DICT_SHARD_CACHE: dict = {}
+# the shards whose postings files it maps, so memory stays ~vocab/n_shards.
+# Keys carry a driver-computed dictionary VERSION (file names/sizes/mtimes)
+# so a long-lived worker never serves a stale df map after the index at
+# the same path is rebuilt or incrementally extended; entries for other
+# versions of the same dict_dir are evicted on insert and the cache is
+# LRU-capped across distinct index dirs.
+_DICT_SHARD_CACHE: "OrderedDict" = OrderedDict()
+_DICT_SHARD_CACHE_MAX = 8
 
 
-def _dict_shard_df(dict_dir: str, shard: int) -> dict:
-    key = (dict_dir, shard)
-    if key not in _DICT_SHARD_CACHE:
-        import pyarrow.dataset as pads
+def _dict_dir_version(dict_dir: str) -> int:
+    """Cheap content fingerprint of a dictionary directory: sorted
+    (relpath, size, mtime_ns) of its parquet files.  Computed ONCE on the
+    driver per pass — workers only compare the token."""
+    import pyarrow.dataset as pads
 
-        t = pads.dataset(dict_dir).to_table(
-            columns=["term", "df"], filter=pads.field("shard") == shard
-        )
-        _DICT_SHARD_CACHE[key] = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+    ents = []
+    for f in pads.dataset(dict_dir).files:
+        st = os.stat(f)
+        ents.append((os.path.relpath(f, dict_dir), st.st_size, st.st_mtime_ns))
+    return hash(tuple(sorted(ents)))
+
+
+def _dict_shard_df(dict_dir: str, shard: int, version: int) -> dict:
+    key = (dict_dir, version, shard)
+    hit = _DICT_SHARD_CACHE.get(key)
+    if hit is not None:
+        _DICT_SHARD_CACHE.move_to_end(key)
+        return hit
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(dict_dir).to_table(
+        columns=["term", "df"], filter=pads.field("shard") == shard
+    )
+    for k in [k for k in _DICT_SHARD_CACHE if k[0] == dict_dir and k[1] != version]:
+        del _DICT_SHARD_CACHE[k]
+    while len(_DICT_SHARD_CACHE) >= _DICT_SHARD_CACHE_MAX:
+        _DICT_SHARD_CACHE.popitem(last=False)
+    _DICT_SHARD_CACHE[key] = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
     return _DICT_SHARD_CACHE[key]
 
 
@@ -719,7 +746,9 @@ def compute_doc_weights(index_dir: str, driver_cap: int | None = None) -> str:
     use_join = pads.dataset(dict_dir).count_rows() > driver_cap
     if use_join:
         df_ref = None
+        dict_version = _dict_dir_version(dict_dir)
     else:
+        dict_version = 0
         dic = pads.dataset(dict_dir).to_table(columns=["term", "df"])
         # term → global df lookup: ray.put ONCE into the object store and
         # fetched zero-copy-shared per worker — not a closure dict
@@ -731,7 +760,7 @@ def compute_doc_weights(index_dir: str, driver_cap: int | None = None) -> str:
             df_of = ray.get(df_ref).__getitem__
         else:
             shards = np.unique(batch["shard"].to_numpy())
-            maps = [_dict_shard_df(dict_dir, int(s)) for s in shards]
+            maps = [_dict_shard_df(dict_dir, int(s), dict_version) for s in shards]
 
             def df_of(term, _maps=maps):
                 for m in _maps:  # almost always exactly one shard per batch

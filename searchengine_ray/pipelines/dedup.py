@@ -865,10 +865,11 @@ def _cc_driver(pairs: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return keys, labels
 
 
-_CC_BUCKETS = 64
+_CC_BUCKETS = 64            # floor; grows with the edge count
+_CC_BUCKET_ROWS = 2_000_000  # target state rows per bucket-round task
 
 
-def _cc_round_bucket(g: pa.Table) -> pa.Table:
+def _cc_round_bucket(g: pa.Table, n_buckets: int = _CC_BUCKETS) -> pa.Table:
     """One hash-to-min round over ONE coarse bucket of node-groups,
     fully vectorized (the per-NODE map_groups variant creates a
     10k-tiny-block storm; bucketing by u%%B keeps every u's rows
@@ -890,7 +891,7 @@ def _cc_round_bucket(g: pa.Table) -> pa.Table:
     new_v = np.concatenate([m, v])
     return pa.table(
         {
-            "bucket": pa.array((new_u % _CC_BUCKETS).astype(np.int32), pa.int32()),
+            "bucket": pa.array((new_u % n_buckets).astype(np.int32), pa.int32()),
             "u": pa.array(new_u, pa.int64()),
             "v": pa.array(new_v, pa.int64()),
         }
@@ -908,8 +909,13 @@ def _cc_distributed(pairs: pa.Table, max_rounds: int = 64) -> tuple[np.ndarray, 
     round every node u computes m = min(C(u) ∪ {u}) and sends {m} to
     every member and the member list to m — the min label's reach
     doubles per round, so convergence takes O(log n) rounds even on
-    path graphs.  Rounds shuffle on a COARSE u-bucket (u %% 64) and
-    process each bucket vectorized.  Fixpoint detection compares
+    path graphs.  Rounds shuffle on a COARSE u-bucket (u %% B, B sized
+    so a bucket-round task sees ~``_CC_BUCKET_ROWS`` state rows — a
+    fixed B would either storm tiny groups or hand one task the whole
+    edge set at scale) and process each bucket vectorized.  A single
+    giant cluster still concentrates its min-label's member list in one
+    bucket — the hash-to-min skew the paper accepts.  Fixpoint
+    detection compares
     (row count, order-free splitmix checksum) of the emitted state
     across rounds.  → same (keys, labels) as ``_cc_driver``."""
     import ray
@@ -922,8 +928,12 @@ def _cc_distributed(pairs: pa.Table, max_rounds: int = 64) -> tuple[np.ndarray, 
         return np.empty(0, np.int64), np.empty(0, np.int64)
     u0 = np.concatenate([a, b])
     v0 = np.concatenate([b, a])
+    # hash-to-min state peaks at ~2× the (deduped, self-looped) edge
+    # rows; size the bucket fan-out off the initial edge count with that
+    # headroom so per-round tasks stay ~_CC_BUCKET_ROWS rows
+    n_buckets = max(_CC_BUCKETS, int(4 * len(u0) // _CC_BUCKET_ROWS) + 1)
     cur = rd.from_arrow(pa.table({
-        "bucket": pa.array((u0 % _CC_BUCKETS).astype(np.int32), pa.int32()),
+        "bucket": pa.array((u0 % n_buckets).astype(np.int32), pa.int32()),
         "u": pa.array(u0, pa.int64()),
         "v": pa.array(v0, pa.int64()),
     }))
@@ -942,7 +952,8 @@ def _cc_distributed(pairs: pa.Table, max_rounds: int = 64) -> tuple[np.ndarray, 
     for _ in range(max_rounds):
         cur = (
             cur.groupby("bucket")
-            .map_groups(_cc_round_bucket, batch_format="pyarrow")
+            .map_groups(lambda g: _cc_round_bucket(g, n_buckets),
+                        batch_format="pyarrow")
             .materialize()
         )
         parts = [t for t in ray.get(

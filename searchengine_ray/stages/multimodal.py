@@ -124,15 +124,18 @@ class DecodeStage:
             # the DuckDB oracle can reproduce them
             width = n_bytes % 640 + 1
             height = (n_bytes * 7) % 480 + 1
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_bytes": pa.array(n_bytes, pa.int64()),
-                "payload_md5": pa.array(md5s, pa.string()),
-                "width": pa.array(width, pa.int64()),
-                "height": pa.array(height, pa.int64()),
-            }
-        )
+        cols = {
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "payload_md5": pa.array(md5s, pa.string()),
+            "width": pa.array(width, pa.int64()),
+            "height": pa.array(height, pa.int64()),
+        }
+        if self.mode == "real":
+            # real chains (decode → resize → …) need the payload to keep
+            # flowing; fake mode stays metadata-only for the oracle
+            cols["payload"] = batch["payload"]
+        return pa.table(cols)
 
 
 def multimodal_meta(sf_dir: str):

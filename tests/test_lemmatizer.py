@@ -28,7 +28,7 @@ PINNED = {
     # ing (vowel + dedouble guards)
     "joining": "join", "merging": "merg", "mapping": "map",
     "falling": "fall", "passing": "pass", "string": "string",  # no-vowel stem
-    "ring": "ring", "doing": "do",  # len guard 6; 'doing' is len-5 → kept? no: see below
+    "ring": "ring", "doing": "do",  # via the exception table (len-5 misses the ing rule)
     # ed
     "joined": "join", "planned": "plan", "speed": "spee",
     # plural s (+ ss/us/is guards)
@@ -37,11 +37,10 @@ PINNED = {
     # untouched
     "spark": "spark", "fast": "fast", "a": "a", "42": "42", "": "",
 }
-# corrections for the tricky pins above, derived by running the cascade:
-# "died" (4) hits ied→y ⇒ "dy"; "doing" (5) misses ing's len-6 guard,
-# then hits ing? no — falls through to the s-rule? 'doing' doesn't end
-# s ⇒ stays "doing"; "speed" (5) hits eed ⇒ "spee".
-PINNED["doing"] = "doing"
+# tricky pins, derived by running the cascade: "died" (4) hits ied→y
+# ⇒ "dy"; "speed" (5) hits eed ⇒ "spee"; "doing" rides EXCEPTIONS
+# (the -ing rule's len-6 guard would otherwise leave the do-family
+# unconflated — review round-4 finding).
 
 
 def test_pinned_vocabulary():

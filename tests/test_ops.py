@@ -374,6 +374,10 @@ def test_multimodal_real_decode_and_resize():
     )
     res = (
         rd.from_arrow(tbl)
+        # real DecodeStage must carry the payload through so real stages
+        # compose: decode (dims + md5) → resize (pixel work)
+        .map_batches(DecodeStage, fn_constructor_args=("real",),
+                     batch_format="pyarrow", batch_size=2, concurrency=1)
         .map_batches(ResizeStage, fn_constructor_kwargs={"max_side": 100, "mode": "real"},
                      batch_format="pyarrow", batch_size=2, concurrency=1)
         .to_pandas()
