@@ -289,6 +289,26 @@ def _df_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+def _segmented_doc_topk(doc_ids, score, tiebreak, k):
+    """Per-doc top-k selection shared by BOTH paths of ``tfidf_keywords``:
+    one lexsort over (doc, floor(score·1e6+0.5) desc, ``tiebreak`` asc),
+    then a segmented rank, keeping rank ≤ k.  The tie-break contract is
+    the oracle-parity invariant — broadcast and join paths must stay
+    bit-identical, so neither may inline its own copy of this block.
+    Returns ``(selected_row_indices, ranks_kept)``."""
+    if not len(doc_ids):
+        e = np.array([], dtype=np.int64)
+        return e, e
+    rounded = np.floor(score * 1_000_000 + 0.5).astype(np.int64)
+    order = np.lexsort((tiebreak, -rounded, doc_ids))
+    d = doc_ids[order]
+    newdoc = np.r_[True, d[1:] != d[:-1]]
+    idxs = np.arange(len(d), dtype=np.int64)
+    rank = idxs - np.maximum.accumulate(np.where(newdoc, idxs, 0)) + 1
+    keep = rank <= k
+    return order[keep], rank[keep]
+
+
 def tfidf_keywords(sf_dir: str, k: int = 5, driver_cap: int | None = None):
     """→ (doc_id, term, rank, score): each document's top-``k`` keywords
     by ``tf · log10(N/df)`` (rank 1 = best; ties broken by the shared
@@ -331,7 +351,7 @@ def tfidf_keywords(sf_dir: str, k: int = 5, driver_cap: int | None = None):
         .materialize()
     )
     if df_agg.count() > driver_cap:
-        return _tfidf_keywords_join(ds, df_agg, n_docs, k, out_schema)
+        return _tfidf_keywords_join(ds, df_agg, n_docs, k)
     df_rows = [t for t in ray.get(df_agg.to_arrow_refs()) if t.num_rows]
     if not df_rows:
         return out_schema.empty_table()
@@ -350,20 +370,13 @@ def tfidf_keywords(sf_dir: str, k: int = 5, driver_cap: int | None = None):
             )
         pos = pc.index_in(terms, value_set=voc).to_numpy(zero_copy_only=False).astype(np.int64)
         score = tf.astype(np.float64) * np.log10(n_docs / dfs[pos])
-        rounded = np.floor(score * 1_000_000 + 0.5).astype(np.int64)
         # pos doubles as the lexicographic tie-break (vocab is sorted)
-        order = np.lexsort((pos, -rounded, doc_ids))
-        d = doc_ids[order]
-        newdoc = np.r_[True, d[1:] != d[:-1]]
-        idxs = np.arange(len(d), dtype=np.int64)
-        rank = idxs - np.maximum.accumulate(np.where(newdoc, idxs, 0)) + 1
-        keep = rank <= k
-        sel = order[keep]
+        sel, rank = _segmented_doc_topk(doc_ids, score, pos, k)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids[sel], pa.int64()),
                 "term": terms.take(pa.array(sel, pa.int64())),
-                "rank": pa.array(rank[keep], pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
                 "score": pa.array(round_half_up(score[sel], 4), pa.float64()),
             }
         )
@@ -375,7 +388,7 @@ _JOIN_BUCKET_VOCAB = 100_000  # terms per term-bucket group
 _JOIN_BUCKET_DOCS = 50_000    # docs per doc-bucket group
 
 
-def _tfidf_keywords_join(ds, df_agg, n_docs: int, k: int, out_schema: pa.Schema):
+def _tfidf_keywords_join(ds, df_agg, n_docs: int, k: int):
     """Vocabulary-too-big-to-broadcast path of ``tfidf_keywords``: a
     union + groupby attaches df to the exploded (doc_id, term, tf) rows
     (Ray Data's join, without materializing either side), then a second
@@ -449,26 +462,20 @@ def _tfidf_keywords_join(ds, df_agg, n_docs: int, k: int, out_schema: pa.Schema)
         )
 
     def bucket_topk(group: pa.Table) -> pa.Table:
-        """One doc-bucket: segmented per-doc rank over a single lexsort
-        (score desc rounded, term asc), identical tie-break to the
-        broadcast path."""
+        """One doc-bucket: the shared ``_segmented_doc_topk`` with the
+        raw term strings as tie-break (lex order — identical outcome to
+        the broadcast path's sorted-vocab index tie-break)."""
         score = group["score"].to_numpy()
         terms = group["term"].to_numpy(zero_copy_only=False)
         doc = group["doc_id"].to_numpy()
-        rounded = np.floor(score * 1_000_000 + 0.5).astype(np.int64)
-        order = np.lexsort((terms, -rounded, doc))
-        d = doc[order]
-        newdoc = np.r_[True, d[1:] != d[:-1]]
-        idxs = np.arange(len(d), dtype=np.int64)
-        rank = idxs - np.maximum.accumulate(np.where(newdoc, idxs, 0)) + 1
-        keep = rank <= k
-        sel = pa.array(order[keep], pa.int64())
+        sel, rank = _segmented_doc_topk(doc, score, terms, k)
+        sel_pa = pa.array(sel, pa.int64())
         return pa.table(
             {
-                "doc_id": group["doc_id"].take(sel),
-                "term": group["term"].take(sel),
-                "rank": pa.array(rank[keep], pa.int64()),
-                "score": pa.array(round_half_up(score[order[keep]], 4), pa.float64()),
+                "doc_id": group["doc_id"].take(sel_pa),
+                "term": group["term"].take(sel_pa),
+                "rank": pa.array(rank, pa.int64()),
+                "score": pa.array(round_half_up(score[sel], 4), pa.float64()),
             }
         )
 

@@ -682,20 +682,26 @@ _DICT_SHARD_CACHE: "OrderedDict" = OrderedDict()
 _DICT_SHARD_CACHE_MAX = 8
 
 
-def _dict_dir_version(dict_dir: str) -> int:
+def _dict_dir_version(dict_dir: str) -> str:
     """Cheap content fingerprint of a dictionary directory: sorted
     (relpath, size, mtime_ns) of its parquet files.  Computed ONCE on the
-    driver per pass — workers only compare the token."""
+    driver per pass — workers only compare the token.  Uses a stable
+    digest, NOT built-in ``hash()``: that is PYTHONHASHSEED-salted per
+    process, so identical content would version differently across driver
+    runs and evict every long-lived worker's cache each time."""
+    import hashlib
+
     import pyarrow.dataset as pads
 
     ents = []
     for f in pads.dataset(dict_dir).files:
         st = os.stat(f)
         ents.append((os.path.relpath(f, dict_dir), st.st_size, st.st_mtime_ns))
-    return hash(tuple(sorted(ents)))
+    blob = "\n".join(f"{p}\t{s}\t{m}" for p, s, m in sorted(ents))
+    return hashlib.sha1(blob.encode()).hexdigest()[:16]
 
 
-def _dict_shard_df(dict_dir: str, shard: int, version: int) -> dict:
+def _dict_shard_df(dict_dir: str, shard: int, version: str) -> dict:
     key = (dict_dir, version, shard)
     hit = _DICT_SHARD_CACHE.get(key)
     if hit is not None:

@@ -158,6 +158,18 @@ def _collect_table(ds, schema: pa.Schema) -> pa.Table:
     return pa.concat_tables([t.select(schema.names) for t in tbls])
 
 
+def _filter_to_ids(t: pa.Table, want: np.ndarray) -> pa.Table:
+    """Vectorized broadcast-id membership filter: keep rows whose
+    ``doc_id`` is in the SORTED int64 array ``want`` (searchsorted
+    probe).  Single-sourced — ``_rows_for_ids`` and the gram-set build
+    both route through it so the join semantics cannot drift."""
+    if not len(want):
+        return t.slice(0, 0)
+    d = t["doc_id"].to_numpy()
+    pos = np.searchsorted(want, d).clip(0, len(want) - 1)
+    return t.filter(pa.array(want[pos] == d))
+
+
 def _rows_for_ids(ds, ids, schema: pa.Schema) -> pa.Table:
     """Fetch the rows of ``ds`` whose doc_id is in ``ids``.
 
@@ -169,10 +181,7 @@ def _rows_for_ids(ds, ids, schema: pa.Schema) -> pa.Table:
     ids_ref = ray.put(np.asarray(sorted(ids), dtype=np.int64))
 
     def keep(t: pa.Table) -> pa.Table:
-        want = ray.get(ids_ref)
-        d = t["doc_id"].to_numpy()
-        pos = np.searchsorted(want, d).clip(0, len(want) - 1)
-        return t.filter(pa.array(want[pos] == d))
+        return _filter_to_ids(t, ray.get(ids_ref))
 
     return _collect_table(ds.map_batches(keep, batch_format="pyarrow"), schema)
 
@@ -209,12 +218,7 @@ def _candidate_gram_lookup(sf_dir: str, needed, shingle: int, fallback: bool):
     )
 
     def gram_rows(t: pa.Table) -> pa.Table:
-        want = ray.get(ids_ref)
-        d = t["doc_id"].to_numpy()
-        if not len(want):
-            return out_schema.empty_table()
-        pos = np.searchsorted(want, d).clip(0, len(want) - 1)
-        t = t.filter(pa.array(want[pos] == d))
+        t = _filter_to_ids(t, ray.get(ids_ref))
         n = t.num_rows
         if n == 0:
             return out_schema.empty_table()
@@ -637,24 +641,39 @@ def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
         )
 
     scored = cand.map_batches(score_pairs, batch_format="pyarrow", batch_size=2048)
-    if verify:
-        # distributed exact verify: hashed gram sets built cluster-side
-        # (whole-text fallback for token-poor docs, the MinHashStage /
-        # _MINHASH_SQL semantics — sets are never empty), vectorized
-        # pair intersection inside map_batches.  No driver text fetch.
-        gram_ref = _candidate_gram_lookup(sf_dir, needed, shingle, fallback=True)
+    if not verify:
+        return _collect_table(scored, full_schema).sort_by(
+            [("doc_a", "ascending"), ("doc_b", "ascending")]
+        )
+    # distributed exact verify: hashed gram sets built cluster-side
+    # (whole-text fallback for token-poor docs, the MinHashStage /
+    # _MINHASH_SQL semantics — sets are never empty), vectorized pair
+    # intersection inside map_batches.  The gram build covers only docs
+    # in pairs SURVIVING the est_jaccard threshold — the scored pairs
+    # are collected to the driver at the end anyway, so materializing
+    # them first costs nothing and spares every weak-candidate doc a
+    # full gram tokenize for pairs about to be dropped.
+    scored_tbl = _collect_table(scored, out_schema)
+    if scored_tbl.num_rows == 0:
+        return full_schema.empty_table()
+    surviving = sorted(
+        set(scored_tbl["doc_a"].to_numpy()) | set(scored_tbl["doc_b"].to_numpy())
+    )
+    gram_ref = _candidate_gram_lookup(sf_dir, surviving, shingle, fallback=True)
 
-        def add_exact(tb: pa.Table) -> pa.Table:
-            import ray as _ray
+    def add_exact(tb: pa.Table) -> pa.Table:
+        import ray as _ray
 
-            inter, union = _pair_set_overlap(tb, _ray.get(gram_ref))
-            j = inter / union
-            return tb.append_column(
-                "jaccard", pa.array(round_half_up(j, 4), pa.float64())
-            )
+        inter, union = _pair_set_overlap(tb, _ray.get(gram_ref))
+        j = inter / union
+        return tb.append_column(
+            "jaccard", pa.array(round_half_up(j, 4), pa.float64())
+        )
 
-        scored = scored.map_batches(add_exact, batch_format="pyarrow", batch_size=2048)
-    return _collect_table(scored, full_schema).sort_by(
+    verified = rd.from_arrow(scored_tbl).map_batches(
+        add_exact, batch_format="pyarrow", batch_size=2048
+    )
+    return _collect_table(verified, full_schema).sort_by(
         [("doc_a", "ascending"), ("doc_b", "ascending")]
     )
 

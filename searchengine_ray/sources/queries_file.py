@@ -21,10 +21,11 @@ import csv
 import pyarrow as pa
 
 
-def _first_nonempty(rows):
-    for r in rows:
+def _first_nonempty_idx(rows, start=0):
+    for i in range(start, len(rows)):
+        r = rows[i]
         if r and any(c.strip() for c in r):
-            return r
+            return i
     return None
 
 
@@ -39,11 +40,18 @@ def read_queries_tsv(path: str) -> pa.Table:
     qids, needs, keywords = [], [], []
     with open(path, newline="") as f:
         rows = list(csv.reader(f, delimiter="\t"))
-    first = _first_nonempty(rows)
+    first_i = _first_nonempty_idx(rows)
+    first = rows[first_i] if first_i is not None else None
     # The digit check must sit on a row that itself has ≥2 tab fields:
     # a plain-text file whose first line contains a tab and whose later
     # line is an all-digit QUERY ('2020') must not be classed as TSV.
-    second = _first_nonempty(rows[1:]) if len(rows) > 1 else None
+    # "second" is the first non-empty row strictly AFTER `first` — indexing
+    # from first_i+1 (not rows[1:]) so a leading blank line cannot alias
+    # `second` to `first` and misroute a headered TSV as plain text.
+    second_i = (
+        _first_nonempty_idx(rows, first_i + 1) if first_i is not None else None
+    )
+    second = rows[second_i] if second_i is not None else None
     is_tsv = first is not None and len(first) >= 2 and (
         first[0].strip().isdigit()
         or (second is not None and len(second) >= 2 and second[0].strip().isdigit())

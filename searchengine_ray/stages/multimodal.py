@@ -68,6 +68,25 @@ PAYLOAD_SCHEMA = pa.schema(
     [("doc_id", pa.int64()), ("payload", pa.large_binary()), ("media_type", pa.string())]
 )
 
+# Pillow availability is probed ONCE per process — Python does not cache
+# failed imports, so retrying `from PIL import Image` per payload would pay
+# a full sys.path scan + ImportError raise inside the hot decode loop.
+_PIL_IMAGE = None
+_PIL_PROBED = False
+
+
+def _pil_image():
+    global _PIL_IMAGE, _PIL_PROBED
+    if not _PIL_PROBED:
+        _PIL_PROBED = True
+        try:
+            from PIL import Image  # not in this container; real clusters have it
+
+            _PIL_IMAGE = Image
+        except ImportError:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
 
 def synth_payload_batch(batch: pa.Table) -> pa.Table:
     """documents → opaque binary payloads (deterministic stand-in for an
@@ -95,15 +114,15 @@ class DecodeStage:
     @staticmethod
     def _decode_real(payload: bytes) -> np.ndarray:
         """Real pixel decode: Pillow when importable, else the numpy
-        PPM codec; other formats need the absent libraries."""
-        try:
+        PPM codec; other formats need the absent libraries.  The try is
+        narrowed to the import itself (via ``_pil_image``) so an
+        ImportError raised INSIDE Pillow's plugin loading propagates as
+        the real error instead of rerouting a valid JPEG to the stub."""
+        Image = _pil_image()
+        if Image is not None:
             from io import BytesIO
 
-            from PIL import Image  # not in this container; real clusters have it
-
             return np.asarray(Image.open(BytesIO(payload)).convert("RGB"))
-        except ImportError:
-            pass
         if payload.startswith(b"P6"):
             return decode_ppm(payload)
         raise NotImplementedError(

@@ -280,3 +280,38 @@ def test_scores_against_bruteforce(built):
     assert set(got) == set(expected)
     for key in expected:
         assert abs(got[key] - expected[key]) < 1e-9
+
+
+def test_dict_dir_version_stable_across_processes(tmp_path):
+    """The dictionary-cache version token must be content-determined:
+    built-in hash() is PYTHONHASHSEED-salted per process, which would
+    evict every long-lived worker's df-shard cache on each new driver.
+    Assert the token matches one computed under a different hash seed,
+    and that it changes when the directory content changes."""
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.build import _dict_dir_version
+
+    d = tmp_path / "dict"
+    d.mkdir()
+    pq.write_table(pa.table({"term": ["a", "b"], "df": [1, 2]}), d / "part0.parquet")
+    v1 = _dict_dir_version(str(d))
+
+    env = dict(os.environ, PYTHONHASHSEED="12345")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); "
+         "from searchengine_ray.pipelines.build import _dict_dir_version; "
+         "print(_dict_dir_version(%r))" % (os.getcwd(), str(d))],
+        capture_output=True, text=True, env=env, cwd=os.getcwd(),
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert out.stdout.strip() == v1
+
+    pq.write_table(pa.table({"term": ["c"], "df": [3]}), d / "part1.parquet")
+    assert _dict_dir_version(str(d)) != v1

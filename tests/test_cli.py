@@ -99,6 +99,15 @@ def test_queries_reader_routing_and_blank_rows(tmp_path):
     p3.write_text("\n1\tneed\tcovid cases\n")
     assert read_queries_tsv(str(p3)).num_rows == 1
 
+    # leading blank line BEFORE a headered TSV: `second` must be the row
+    # AFTER the header, not the header aliased to itself via rows[1:] —
+    # aliasing misrouted this file as plain text (header became query 1)
+    p4 = tmp_path / "blank_hdr.tsv"
+    p4.write_text("\nquery_id\tneed\tkeywords\n1\ta\tcovid cases\n2\tb\tvax\n")
+    t4 = read_queries_tsv(str(p4))
+    assert t4["query_id"].to_pylist() == [1, 2]
+    assert t4["keywords"].to_pylist() == ["covid cases", "vax"]
+
     l1 = tmp_path / "l.csv"
     l1.write_text("\nquery,doc,y_true\n1,c0:1,1\n2,c1:0,0\n")
     lt = read_labels_csv(str(l1))
