@@ -14,6 +14,12 @@ import pyarrow as pa
 
 from ..sources.transcripts import transcripts_from_documents
 
+_CONV_STATS_SCHEMA = pa.schema(
+    [("conv_id", pa.string())]
+    + [(c, pa.int64())
+       for c in ("n_turns", "n_user", "n_assistant", "n_tool", "total_chars")]
+)
+
 
 def _conv_stats_partial(batch: pa.Table) -> pa.Table:
     """Per-batch partial per-conversation aggregates.  Grouping runs on
@@ -24,6 +30,10 @@ def _conv_stats_partial(batch: pa.Table) -> pa.Table:
     dictionary.  Role flags compare on codes too."""
     import pyarrow.compute as pc
 
+    if batch.num_rows == 0:
+        # same guard as events._window_partial: np.r_[True, ...] on an
+        # empty code array seeds starts=[0] and reduceat IndexErrors
+        return _CONV_STATS_SCHEMA.empty_table()
     conv_col = batch["conv_id"]
     if isinstance(conv_col, pa.ChunkedArray):
         conv_col = conv_col.combine_chunks()

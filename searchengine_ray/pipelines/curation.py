@@ -42,10 +42,22 @@ def curation_features(batch: pa.Table) -> pa.Table:
     )
 
 
-def _keep_first(group: pa.Table) -> pa.Table:
-    """Exact-dedup winner: the min-doc_id row of a content-hash group."""
-    i = int(np.argmin(group["doc_id"].to_numpy()))
-    return group.slice(i, 1)
+# per-process memo of the decontaminate eval broadcast: ray.get() does
+# not cache deserialized objects, so without this every batch re-unpickles
+# the eval gram-string SET (the numpy half is zero-copy; the set is not)
+_EVAL_MEMO: dict = {}
+
+
+def _get_eval_once(ref):
+    key = ref.hex()
+    val = _EVAL_MEMO.get(key)
+    if val is None:
+        import ray
+
+        if len(_EVAL_MEMO) >= 4:
+            _EVAL_MEMO.pop(next(iter(_EVAL_MEMO)))
+        _EVAL_MEMO[key] = val = ray.get(ref)
+    return val
 
 
 def decontaminate(sf_dir: str, eval_max_id: int = 10, n: int = 8):
@@ -93,7 +105,7 @@ def decontaminate(sf_dir: str, eval_max_id: int = 10, n: int = 8):
         hashes, parents, flat, starts = _gram_hashes(batch["text"], n)
         if not len(hashes):
             return empty
-        ev_h, ev_strings = ray.get(ref)
+        ev_h, ev_strings = _get_eval_once(ref)
         pos = np.searchsorted(ev_h, hashes).clip(0, max(len(ev_h) - 1, 0))
         hit = np.flatnonzero(ev_h[pos] == hashes) if len(ev_h) else np.empty(0, np.int64)
         if not len(hit):
@@ -128,11 +140,21 @@ def curate(sf_dir: str, langs=("en",), min_quality: float = 0.55):
     the quality threshold (threshold compared on the rounded score, as
     the oracle does)."""
     import ray.data as rd
+    from ray.data.aggregate import Min
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     feats = ds.map_batches(curation_features, batch_format="pyarrow")
-    kept = feats.groupby(["text_hash", "n_bytes"]).map_groups(
-        _keep_first, batch_format="pyarrow"
+    # exact-dedup winner = the min-doc_id row of each content-hash group.
+    # Every feature column is a pure function of the text, so within a
+    # group all rows are identical and Min() recovers the winner's values
+    # without the one-Python-call-per-group map_groups dispatch (groups
+    # are ~all singletons on a mostly-unique corpus — that dispatch was
+    # the slowest primitive on this hot path).
+    kept = feats.groupby(["text_hash", "n_bytes"]).aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Min("pred_lang", alias_name="pred_lang"),
+        Min("n_tokens", alias_name="n_tokens"),
+        Min("quality", alias_name="quality"),
     )
 
     langs = tuple(langs)

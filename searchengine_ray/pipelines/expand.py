@@ -131,10 +131,20 @@ class SpellExpansion:
             ):
                 out[term] = out.get(term, 0) + w
                 continue
-            cands = {c for c in self._edits1(low) if reader.has_term(c)}
+            # probe both cases: entity-like terms live UPPERCASE in the
+            # dictionary when no lowercase twin exists (postings fold
+            # rule), and parse_query resolves them via term.upper() —
+            # a lowercase-only probe could never correct their typos
+            def known(c: str) -> str | None:
+                if reader.has_term(c):
+                    return c
+                cu = c.upper()
+                return cu if reader.has_term(cu) else None
+
+            cands = {k for c in self._edits1(low) if (k := known(c))}
             if not cands and self.max_distance >= 2:
                 for e1 in self._edits1(low):
-                    cands.update(c for c in self._edits1(e1) if reader.has_term(c))
+                    cands.update(k for c in self._edits1(e1) if (k := known(c)))
             if cands:
                 best = max(cands, key=lambda c: (reader.cf(c), c))  # cf, then term
                 out[best] = out.get(best, 0) + w
@@ -308,9 +318,12 @@ def rerank_by_embedding(engine, results, query: str, vectors=None,
     dvecs = np.zeros((len(rid), mat.shape[1] if found else vectors.dim))
     if found:
         dvecs[hit] = mat[pos[hit]]
-    # docs without a stored vector (e.g. appended after compute_doc_vectors)
-    # keep the zero vector: maximal distance, never a neighbour's vector
     dist = np.linalg.norm(dvecs - qvec, axis=1)
+    # docs without a stored vector (e.g. appended after
+    # compute_doc_vectors) rank LAST on the embedding half: infinite
+    # distance, not the zero vector's ||q|| (which can beat real vectors
+    # pointing away from the query)
+    dist[~hit] = np.inf
     inv = 1.0 / np.maximum(dist, 1e-12)
     scores = results["score"].to_numpy()
     smax = max(scores.max(), 1e-12)

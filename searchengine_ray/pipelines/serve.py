@@ -121,8 +121,11 @@ class SearchService:
     # -- routing ---------------------------------------------------------
     def _pick(self, query: str) -> int:
         if self.routing == "rr":
+            # post-increment: the cycle starts at worker 0 (pre-increment
+            # left worker 0 cold until the first wrap)
+            picked = self._rr
             self._rr = (self._rr + 1) % len(self.workers)
-            return self._rr
+            return picked
         key = " ".join(sorted(query.lower().split()))
         return zlib.crc32(key.encode("utf-8")) % len(self.workers)
 

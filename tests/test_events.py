@@ -132,3 +132,24 @@ def test_window_partial_matches_naive_and_handles_empty():
     assert empty.num_rows == 0 and empty.column_names == out.column_names
     empty_s = _session_partials(tbl.slice(0, 0), GAP_US)
     assert empty_s.num_rows == 0
+
+
+def test_conv_stats_partial_empty_batch():
+    """Regression: np.r_[True, ...] on an empty code array seeded
+    starts=[0] and reduceat raised IndexError, killing the whole
+    conversation_stats job on any empty block."""
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.conversations import _conv_stats_partial
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "role": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+    out = _conv_stats_partial(empty)
+    assert out.num_rows == 0
+    assert out.schema.names == [
+        "conv_id", "n_turns", "n_user", "n_assistant", "n_tool", "total_chars"]

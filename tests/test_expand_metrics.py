@@ -201,3 +201,23 @@ def test_labels_csv_and_results_sink(tmp_path, qe):
     lines = out.read_text().strip().splitlines()
     assert lines[0] == "query,doc,rank"
     assert len(lines) == 1 + res[1].num_rows
+
+
+def test_spell_expansion_probes_uppercase_vocab():
+    """Entity-like terms live UPPERCASE in the dictionary when no
+    lowercase twin exists (postings fold rule); a distance-1 typo must
+    still reach them — the lowercase-only candidate probe could not."""
+    class _Reader:
+        vocab = {"TRUMP": 7, "merge": 3}
+
+        def has_term(self, t):
+            return t in self.vocab
+
+        def cf(self, t):
+            return self.vocab.get(t, 0)
+
+    class _Engine:
+        reader = _Reader()
+
+    out = SpellExpansion()({"trmup": 1.0}, _Engine())
+    assert out == {"TRUMP": 1.0}
