@@ -20,7 +20,7 @@ import numpy as np
 
 __all__ = ["varbyte_encode", "varbyte_decode", "encode_postings",
            "encode_postings_segments", "decode_postings",
-           "decode_postings_concat"]
+           "decode_postings_concat", "decode_postings_concat_arrow"]
 
 _U64 = np.uint64
 _MAX_GROUPS = 10  # ceil(64 / 7)
@@ -262,10 +262,64 @@ def decode_postings_concat(blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return _decode_concat_core(blobs)
 
 
+def decode_postings_concat_arrow(runs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``decode_postings_concat`` fed straight from a pyarrow
+    (large_)binary array (no nulls): the array's values buffer IS the
+    joined byte stream and its offsets give per-blob lengths, so no
+    per-blob Python ``bytes`` objects are materialized — the range-merge
+    path hands millions of tiny runs, where ``to_pylist()`` costs a full
+    copy plus ~33 B of object overhead per run.  Same cache-blocked
+    slicing as the list form (every blob decodes independently, so any
+    blob-boundary split concatenates exactly)."""
+    import pyarrow as pa
+
+    if isinstance(runs, pa.ChunkedArray):
+        runs = runs.combine_chunks()
+    m = len(runs)
+    e = np.empty(0, np.int64)
+    if m == 0:
+        return e, e.copy(), e.copy()
+    odt = np.int64 if pa.types.is_large_binary(runs.type) else np.int32
+    off0 = runs.offset
+    offs = np.frombuffer(runs.buffers()[1], dtype=odt)[off0 : off0 + m + 1].astype(np.int64)
+    lengths = np.diff(offs)
+    total = int(offs[-1] - offs[0])
+    if total == 0:
+        return e, e.copy(), e.copy()
+    data = np.frombuffer(runs.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    # empty blobs contribute no bytes — drop their (zero) lengths only
+    lengths = lengths[lengths > 0]
+    if len(lengths) > 1 and total > _DECODE_BLOCK:
+        ends = np.cumsum(lengths)
+        starts = ends - lengths
+        bucket = starts // _DECODE_BLOCK
+        bnd = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+        bnd = np.append(bnd, len(lengths))
+        parts = [
+            _decode_concat_core_buf(
+                data[starts[bnd[i]] : ends[bnd[i + 1] - 1]],
+                lengths[bnd[i] : bnd[i + 1]],
+            )
+            for i in range(len(bnd) - 1)
+        ]
+        if len(parts) == 1:
+            return parts[0]
+        return tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
+    return _decode_concat_core_buf(data, lengths)
+
+
 def _decode_concat_core(blobs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
-    vals = varbyte_decode(buf)
     lengths = np.array([len(b) for b in blobs], dtype=np.int64)
+    return _decode_concat_core_buf(buf, lengths)
+
+
+def _decode_concat_core_buf(buf: np.ndarray, lengths: np.ndarray
+                            ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Core decode over one contiguous uint8 stream + per-blob byte
+    lengths (all > 0; an empty blob would alias its neighbor's reduceat
+    segment)."""
+    vals = varbyte_decode(buf)
     byte_starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
     is_last = ((buf & 0x80) == 0).astype(np.int64)
     nvals = np.add.reduceat(is_last, byte_starts)

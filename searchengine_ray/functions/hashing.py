@@ -38,7 +38,16 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["splitmix64", "hash_str_u64", "poly_hash_u64", "doc_id_i64",
-           "term_shard", "range_shift"]
+           "term_shard", "range_shift", "SAMPLE_A", "SAMPLE_M"]
+
+# Affine-hash sampling constants shared by pipelines/sampling.py
+# (stratified keep rule) and pipelines/ann.py (seeded embedding sample /
+# medoid quantizer).  Single definition on purpose: three DuckDB oracles
+# in oracle/sql_ops.py hard-code these values, so an edit to one copy
+# must be an edit to all users.  Odd multiplier → bijective mod 2^32;
+# power-of-two modulus → the SQL twin is exact integer math.
+SAMPLE_A = 2654435761  # Knuth multiplicative constant
+SAMPLE_M = 1 << 32
 
 
 def range_shift(n_ranges: int) -> int:

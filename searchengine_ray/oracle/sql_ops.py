@@ -29,7 +29,7 @@ def _marker_list(lang: str) -> str:
 
 
 # medoid-quantizer IVF twin (ivf_topk defaults: n_queries=5, k=10,
-# n_clusters=16, nprobe=4, seed=99; SAMPLE_A/SAMPLE_M from pipelines/ann.py)
+# n_clusters=16, nprobe=4, seed=99; SAMPLE_A/SAMPLE_M from functions/hashing.py)
 _IVF_SQL = """
     WITH cent AS (
         SELECT CAST(embedding AS DOUBLE[]) AS ce,
@@ -483,7 +483,7 @@ def ops_sql() -> dict[str, str]:
         """,
         # ---- training-mix operators ------------------------------------
         # deterministic affine-hash sampling: exact integer twin of
-        # pipelines/sampling.py (SAMPLE_A = 2654435761, M = 2^32)
+        # functions/hashing.py (SAMPLE_A = 2654435761, M = 2^32)
         "stratified_sample": """
             SELECT doc_id, source FROM documents
             WHERE (doc_id::HUGEINT * 2654435761) % 4294967296 <

@@ -41,9 +41,23 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-class BruteForceScorer:
-    """Actor: holds the normalized query matrix (fetched once from the
-    object store), emits batch-local top-k candidate rows."""
+_TOPK_SCHEMA = pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64()),
+                          ("cos", pa.float64())])
+
+
+def _empty_topk() -> pa.Table:
+    return _TOPK_SCHEMA.empty_table()
+
+
+class _CosineTopKScorer:
+    """Shared actor core of the exact/IVF/probe scorers: holds the
+    normalized query matrix (fetched once from the object store), emits
+    batch-local top-k candidate rows under the GLOBAL tie order.
+    Subclasses narrow candidates via ``_clusters`` (per-row cluster
+    assignment; None = every row is a candidate) checked against
+    ``self.probes`` ({qid: array of probed cluster ids})."""
+
+    probes: dict | None = None
 
     def __init__(self, queries_ref, k: int):
         import ray
@@ -53,25 +67,30 @@ class BruteForceScorer:
         self.q = _normalize(qmat)
         self.k = k
 
+    def _clusters(self, batch: pa.Table, m_n: np.ndarray):
+        return None
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # zero-row parquet fragments reach scorers
+            return _empty_topk()
         vec_ids = batch["vec_id"].to_numpy()
         m = _normalize(_matrix(batch))
+        cl = self._clusters(batch, m)
         cos = m @ self.q.T  # [batch, n_queries]
         out_q, out_v, out_c = [], [], []
         for j, qid in enumerate(self.qids):
-            c = cos[:, j]
             mask = vec_ids != qid
+            if cl is not None:
+                mask &= np.isin(cl, self.probes[int(qid)])
             idx = np.flatnonzero(mask)
             if len(idx) == 0:
                 continue
-            top = _batch_topk(c, vec_ids, idx, self.k)
+            top = _batch_topk(cos[:, j], vec_ids, idx, self.k)
             out_q.append(np.full(len(top), qid, dtype=np.int64))
             out_v.append(vec_ids[top])
-            out_c.append(c[top])
+            out_c.append(cos[top, j])
         if not out_q:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "vec_id": pa.array([], pa.int64()),
-                             "cos": pa.array([], pa.float64())})
+            return _empty_topk()
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),
@@ -79,6 +98,48 @@ class BruteForceScorer:
                 "cos": pa.array(np.concatenate(out_c)),
             }
         )
+
+
+class BruteForceScorer(_CosineTopKScorer):
+    """Exact baseline: every non-self row is a candidate."""
+
+
+def _probe_arrays(probes: dict) -> dict:
+    """{qid: set} → {qid: sorted int64 array} once per actor, so the
+    per-batch mask is a numpy isin against a prebuilt array instead of a
+    list() materialization per (batch, query)."""
+    return {q: np.array(sorted(s), dtype=np.int64) for q, s in probes.items()}
+
+
+class IVFScorer(_CosineTopKScorer):
+    """In-flight IVF: assign each row to its closest centroid, candidates
+    are rows landing in the query's probed cells."""
+
+    def __init__(self, ref, k: int):
+        import ray
+
+        qids, qmat, cent, probes = ray.get(ref) if not isinstance(ref, tuple) else ref
+        super().__init__((qids, qmat), k)
+        self.cent = cent
+        self.probes = _probe_arrays(probes)
+
+    def _clusters(self, batch: pa.Table, m_n: np.ndarray):
+        return np.argmax(_assign_keys(m_n, self.cent), axis=1)
+
+
+class ProbeScorer(_CosineTopKScorer):
+    """Persisted-IVF search: cluster assignment rides the ``cl`` column
+    written by ``ivf_build``."""
+
+    def __init__(self, ref, k: int):
+        import ray
+
+        qids, qmat, probes = ray.get(ref) if not isinstance(ref, tuple) else ref
+        super().__init__((qids, qmat), k)
+        self.probes = _probe_arrays(probes)
+
+    def _clusters(self, batch: pa.Table, m_n: np.ndarray):
+        return batch["cl"].to_numpy()
 
 
 def _batch_topk(scores: np.ndarray, vec_ids: np.ndarray, idx: np.ndarray,
@@ -154,17 +215,14 @@ def _reduce_topk(parts, k: int) -> pa.Table:
     )
     blocks = [b for b in ray.get(reduced.to_arrow_refs()) if b.num_rows]
     if not blocks:
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         "vec_id": pa.array([], pa.int64()),
-                         "cos": pa.array([], pa.float64())})
+        return _empty_topk()
     return _final_topk(pa.concat_tables(blocks), k)
 
 
 # deterministic affine-hash sample order (odd multiplier → bijective mod
 # 2^32 for vec_id < 2^32, so keys are collision-free and the "first n by
 # key" set is a uniform pseudo-random sample independent of row order)
-SAMPLE_A = 2654435761
-SAMPLE_M = 1 << 32
+from ..functions.hashing import SAMPLE_A, SAMPLE_M  # noqa: E402
 
 
 def _sample_embeddings(sf_dir: str, n: int, seed: int = 99) -> pa.Table:
@@ -305,37 +363,6 @@ def ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10, n_clusters: int = 16,
     probes = _probe_sets(qids, qmat, cent_n, nprobe)
     ref = ray.put((qids, qmat, cent_n, probes))
 
-    class IVFScorer:
-        def __init__(self, ref, k):
-            import ray as _r
-
-            self.qids, qmat, self.cent, self.probes = _r.get(ref)
-            self.q = _normalize(qmat)
-            self.k = k
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vec_ids = batch["vec_id"].to_numpy()
-            m = _normalize(_matrix(batch))
-            assign = np.argmax(_assign_keys(m, self.cent), axis=1)
-            cos = m @ self.q.T
-            out_q, out_v, out_c = [], [], []
-            for j, qid in enumerate(self.qids):
-                mask = (vec_ids != qid) & np.isin(assign, list(self.probes[int(qid)]))
-                idx = np.flatnonzero(mask)
-                if not len(idx):
-                    continue
-                top = _batch_topk(cos[:, j], vec_ids, idx, self.k)
-                out_q.append(np.full(len(top), qid, dtype=np.int64))
-                out_v.append(vec_ids[top])
-                out_c.append(cos[top, j])
-            if not out_q:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "vec_id": pa.array([], pa.int64()),
-                                 "cos": pa.array([], pa.float64())})
-            return pa.table({"query_id": pa.array(np.concatenate(out_q)),
-                             "vec_id": pa.array(np.concatenate(out_v)),
-                             "cos": pa.array(np.concatenate(out_c))})
-
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     parts = ds.map_batches(IVFScorer, fn_constructor_args=(ref, k),
                            batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
@@ -365,8 +392,11 @@ def ivf_build(sf_dir: str, ivf_dir: str, n_clusters: int = 16, seed: int = 99,
     ref = ray.put(cent_n)
 
     def assign(batch: pa.Table) -> pa.Table:
-        m = _normalize(_matrix(batch))
-        a = np.argmax(_assign_keys(m, ray.get(ref)), axis=1).astype(np.int32)
+        if batch.num_rows == 0:
+            a = np.zeros(0, np.int32)
+        else:
+            m = _normalize(_matrix(batch))
+            a = np.argmax(_assign_keys(m, ray.get(ref)), axis=1).astype(np.int32)
         # "cl" rides inside the files (partition_cols strips "cluster")
         return batch.append_column("cl", pa.array(a, pa.int32())).append_column(
             "cluster", pa.array(a, pa.int32())
@@ -404,39 +434,8 @@ def ivf_search(ivf_dir: str, qids: np.ndarray, qmat: np.ndarray, k: int = 10,
         for f in sorted(_glob.glob(os.path.join(ivf_dir, f"cluster={c}", "*.parquet")))
     ]
     if not paths:
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         "vec_id": pa.array([], pa.int64()),
-                         "cos": pa.array([], pa.float64())})
+        return _empty_topk()
     ref = ray.put((qids, qmat, probes))
-
-    class ProbeScorer:
-        def __init__(self, ref, k):
-            self.qids, qmat, self.probes = ray.get(ref)
-            self.q = _normalize(qmat)
-            self.k = k
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vec_ids = batch["vec_id"].to_numpy()
-            cl = batch["cl"].to_numpy()
-            m = _normalize(_matrix(batch))
-            cos = m @ self.q.T
-            out_q, out_v, out_c = [], [], []
-            for j, qid in enumerate(self.qids):
-                mask = (vec_ids != qid) & np.isin(cl, list(self.probes[int(qid)]))
-                idx = np.flatnonzero(mask)
-                if not len(idx):
-                    continue
-                top = _batch_topk(cos[:, j], vec_ids, idx, self.k)
-                out_q.append(np.full(len(top), qid, dtype=np.int64))
-                out_v.append(vec_ids[top])
-                out_c.append(cos[top, j])
-            if not out_q:
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "vec_id": pa.array([], pa.int64()),
-                                 "cos": pa.array([], pa.float64())})
-            return pa.table({"query_id": pa.array(np.concatenate(out_q)),
-                             "vec_id": pa.array(np.concatenate(out_v)),
-                             "cos": pa.array(np.concatenate(out_c))})
 
     parts = (
         rd.read_parquet(paths, columns=["vec_id", "embedding", "cl"])

@@ -20,10 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-# affine-hash sampling constants (public, arbitrary odd multiplier; the
-# modulus is a power of two so the SQL twin is exact integer math)
-SAMPLE_A = 2654435761  # Knuth multiplicative constant
-SAMPLE_M = 1 << 32
+from ..functions.hashing import SAMPLE_A, SAMPLE_M
 
 
 def stratified_sample(sf_dir: str, fracs: dict[str, float], default: float = 0.0):

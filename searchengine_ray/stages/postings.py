@@ -47,6 +47,7 @@ import pyarrow as pa
 
 from ..functions.codec import (
     decode_postings_concat,
+    decode_postings_concat_arrow,
     encode_postings,
     encode_postings_segments,
 )
@@ -210,28 +211,42 @@ def surface_partial_agg(tbl: pa.Table) -> pa.Table:
         return PARTIAL_SCHEMA.empty_table()
     d = tbl["surface"].combine_chunks().dictionary_encode()
     codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq = d.dictionary.to_pylist()
-    order = np.argsort(codes, kind="stable")
+    rng_raw = tbl["range"].to_numpy()
+    # (surface, range) sort so the per-surface distinct-range lists fall
+    # out of one adjacent-dedup; within a surface all rows share
+    # fold_key/is_cap (functions of the surface string), so intra-group
+    # order does not affect the first-row gathers below
+    order = np.lexsort((rng_raw, codes))
     codes_s = codes[order]
+    rng = rng_raw[order]
     dfs = tbl["df"].to_numpy()[order]
     doc_min = tbl["doc_min"].to_numpy()[order]
-    ent = tbl["is_entity"].to_numpy(zero_copy_only=False)[order]
+    ent = tbl["is_entity"].to_numpy(zero_copy_only=False)[order].astype(bool)
     cap = tbl["is_cap"].to_numpy(zero_copy_only=False)[order]
-    rng = tbl["range"].to_numpy()[order]
     fold = tbl["fold_key"].to_numpy(zero_copy_only=False)[order]
     starts = np.flatnonzero(np.r_[True, codes_s[1:] != codes_s[:-1]])
-    bounds = np.append(starts, len(codes_s))
-    out = {k: [] for k in PARTIAL_SCHEMA.names}
-    for i, s in enumerate(starts):
-        e = bounds[i + 1]
-        out["fold_key"].append(fold[s])
-        out["surface"].append(uniq[codes_s[s]])
-        out["is_cap"].append(bool(cap[s]))
-        out["is_entity"].append(bool(ent[s:e].any()))
-        out["df"].append(int(dfs[s:e].sum()))
-        out["doc_min"].append(int(doc_min[s:e].min()))
-        out["ranges"].append(np.unique(rng[s:e]).tolist())
-    return pa.table(out, schema=PARTIAL_SCHEMA)
+    # distinct (surface, range) pairs, range-ascending within surface
+    pair_idx = np.flatnonzero(
+        np.r_[True, (codes_s[1:] != codes_s[:-1]) | (rng[1:] != rng[:-1])]
+    )
+    pair_per_surf = np.diff(np.append(
+        np.searchsorted(pair_idx, starts), len(pair_idx)))
+    offsets = np.concatenate([[0], np.cumsum(pair_per_surf)])
+    return pa.table(
+        {
+            "fold_key": pa.array(fold[starts], pa.string()),
+            "surface": d.dictionary.take(pa.array(codes_s[starts], pa.int64())),
+            "is_cap": pa.array(cap[starts].astype(bool)),
+            "is_entity": pa.array(np.logical_or.reduceat(ent, starts)),
+            "df": pa.array(np.add.reduceat(dfs, starts), pa.int64()),
+            "doc_min": pa.array(np.minimum.reduceat(doc_min, starts), pa.int64()),
+            "ranges": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(rng[pair_idx].astype(np.int32), pa.int32()),
+            ),
+        },
+        schema=PARTIAL_SCHEMA,
+    )
 
 
 def resolve_fold_group(group: pa.Table, case_folding: bool = True,
@@ -374,14 +389,17 @@ def merge_range_table(runs_tbl: pa.Table, markers: pa.Table | None, rng: int,
     run_tcodes = tcode_of_surf[scodes]
     keep_run = ~drop_of[scodes]
     dfs = runs_tbl["df"].to_numpy()
-    blobs = runs_tbl["run"].to_pylist()
+    run_col = runs_tbl["run"]
     if not keep_run.all():
         idx = np.flatnonzero(keep_run)
         run_tcodes, dfs = run_tcodes[idx], dfs[idx]
-        blobs = [blobs[i] for i in idx]
-    if not blobs:
+        run_col = run_col.take(pa.array(idx, pa.int64()))
+    if len(run_col) == 0:
         return CHUNKS_SCHEMA.empty_table()
-    ids, tfs, lens = decode_postings_concat(blobs)
+    # zero-copy from the large_binary buffers — no per-run bytes objects
+    ids, tfs, lens = decode_postings_concat_arrow(run_col)
+    if len(ids) == 0:
+        return CHUNKS_SCHEMA.empty_table()
     pt = np.repeat(run_tcodes, dfs)  # per-posting term code
     order = np.lexsort((ids, pt))
     ids, tfs, lens, pt = ids[order], tfs[order], lens[order], pt[order]

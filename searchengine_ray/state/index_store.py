@@ -533,16 +533,23 @@ class IndexReader:
             parts = []
             for g in need:
                 ck = (int(rng), int(g), key_cols)
-                t = self._dm_rg_cache.get(ck)
+                # same discipline as postings(): cache dict/stats mutations
+                # under _cache_lock, shared ParquetFile reads under _pf_lock
+                # (threads share the reader; a duplicate read on a cache
+                # miss race is benign)
+                with self._cache_lock:
+                    t = self._dm_rg_cache.get(ck)
+                    if t is not None:
+                        self._dm_rg_cache.move_to_end(ck)
                 if t is None:
-                    pf = self._docmap_file(int(rng))
-                    t = pf.read_row_groups([int(g)], columns=list(columns))
-                    self.stats["docmap_rows_read"] += t.num_rows
-                    self._dm_rg_cache[ck] = t
-                    while len(self._dm_rg_cache) > self.dm_rg_cache_max:
-                        self._dm_rg_cache.popitem(last=False)
-                else:
-                    self._dm_rg_cache.move_to_end(ck)
+                    with self._pf_lock:
+                        pf = self._docmap_file(int(rng))
+                        t = pf.read_row_groups([int(g)], columns=list(columns))
+                    with self._cache_lock:
+                        self.stats["docmap_rows_read"] += t.num_rows
+                        self._dm_rg_cache[ck] = t
+                        while len(self._dm_rg_cache) > self.dm_rg_cache_max:
+                            self._dm_rg_cache.popitem(last=False)
                 parts.append(t)
             tbl = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
             # row index inside the concatenation of the selected groups

@@ -264,3 +264,64 @@ def test_cache_blocked_paths_match_unblocked():
     assert (d == doc_ids.astype(np.int64)).all()
     assert (t == tfs.astype(np.int64)).all()
     assert (l == lens.astype(np.int64)).all()
+
+
+def test_decode_postings_concat_arrow_matches_list():
+    """Arrow-buffer decode == list decode, including empty blobs, a
+    sliced array view (nonzero Arrow offset), and a chunked column."""
+    import pyarrow as pa
+
+    from searchengine_ray.functions.codec import (
+        decode_postings_concat, decode_postings_concat_arrow)
+
+    rng = np.random.default_rng(11)
+    blobs = []
+    for n in [2, 1, 0, 5, 1, 120, 0, 3, 1]:
+        i = np.sort(rng.choice(2**35, size=n, replace=False)).astype(np.int64)
+        t = rng.integers(1, 50, size=n).astype(np.int64)
+        l = rng.integers(1, 500, size=n).astype(np.int64)
+        blobs.append(encode_postings(i, t, l) if n else b"")
+    want = decode_postings_concat(blobs)
+
+    for arr in (
+        pa.array(blobs, pa.large_binary()),
+        pa.array(blobs, pa.binary()),
+        pa.array([b"\x01\x01\x01\x01"] + blobs, pa.large_binary()).slice(1),
+        pa.chunked_array([pa.array(blobs[:4], pa.large_binary()),
+                          pa.array(blobs[4:], pa.large_binary())]),
+    ):
+        got = decode_postings_concat_arrow(arr)
+        for w, g in zip(want, got):
+            assert w.tolist() == g.tolist()
+
+    empty = decode_postings_concat_arrow(pa.array([], pa.large_binary()))
+    assert all(len(x) == 0 for x in empty)
+    all_blank = decode_postings_concat_arrow(pa.array([b"", b""], pa.large_binary()))
+    assert all(len(x) == 0 for x in all_blank)
+
+
+def test_decode_postings_concat_arrow_blocked():
+    """Many-blob input crosses the cache-block boundary and still
+    matches the unblocked scalar decode."""
+    import pyarrow as pa
+
+    from searchengine_ray.functions import codec
+
+    rng = np.random.default_rng(13)
+    blobs = []
+    for _ in range(500):
+        n = int(rng.integers(1, 6))
+        i = np.sort(rng.choice(2**30, size=n, replace=False)).astype(np.int64)
+        t = rng.integers(1, 9, size=n).astype(np.int64)
+        l = rng.integers(1, 99, size=n).astype(np.int64)
+        blobs.append(encode_postings(i, t, l))
+    arr = pa.array(blobs, pa.large_binary())
+    want = codec.decode_postings_concat(blobs)
+    old_block = codec._DECODE_BLOCK
+    codec._DECODE_BLOCK = 256  # force many slices
+    try:
+        got = codec.decode_postings_concat_arrow(arr)
+    finally:
+        codec._DECODE_BLOCK = old_block
+    for w, g in zip(want, got):
+        assert w.tolist() == g.tolist()

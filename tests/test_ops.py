@@ -608,3 +608,54 @@ def test_redact_pii_planted(tmp_path):
     con.register("documents", tbl)
     ora = con.execute(ops_sql()["redact_pii"]).fetchdf().sort_values("doc_id").reset_index(drop=True)
     assert res[sorted(res.columns)].equals(ora[sorted(ora.columns)])
+
+
+def test_ann_scorers_handle_empty_batch():
+    """Zero-row blocks (empty parquet fragments) must not crash any
+    scorer or the ivf_build assign stage (the empty-batch class the
+    conversation-stats fix covered for events)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.ann import (
+        BruteForceScorer, IVFScorer, ProbeScorer, _normalize)
+
+    qids = np.array([0, 1], dtype=np.int64)
+    qmat = np.eye(2, 4)
+    cent = _normalize(np.ones((2, 4)) + np.eye(2, 4))
+    probes = {0: {0}, 1: {1}}
+    empty = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "cl": pa.array([], pa.int32()),
+    })
+    for scorer in (
+        BruteForceScorer((qids, qmat), 3),
+        IVFScorer((qids, qmat, cent, probes), 3),
+        ProbeScorer((qids, qmat, probes), 3),
+    ):
+        out = scorer(empty)
+        assert out.num_rows == 0
+        assert out.schema.names == ["query_id", "vec_id", "cos"]
+
+
+def test_ann_ivf_scorer_matches_pre_refactor_semantics():
+    """The unified scorer must keep the probe-mask semantics: rows
+    assigned to unprobed cells are excluded, self-matches dropped."""
+    import numpy as np
+    import pyarrow as pa
+
+    from searchengine_ray.pipelines.ann import ProbeScorer
+
+    qids = np.array([7], dtype=np.int64)
+    qmat = np.array([[1.0, 0.0]])
+    probes = {7: {1}}
+    batch = pa.table({
+        "vec_id": pa.array([7, 10, 11, 12], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.8, 0.0]],
+                              pa.list_(pa.float32())),
+        "cl": pa.array([1, 1, 2, 1], pa.int32()),
+    })
+    out = ProbeScorer((qids, qmat, probes), 2)(batch)
+    # vec 7 is the query itself (dropped), vec 11 is in an unprobed cell
+    assert out["vec_id"].to_pylist() == [12, 10]
