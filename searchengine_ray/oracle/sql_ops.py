@@ -293,6 +293,45 @@ _MINHASH_SQL_TMPL = f"""
 """
 
 
+# Exact twin of pipelines/ann.py::srp_dup_pairs at the entry defaults:
+# Rademacher plane sign j,d = parity of splitmix64(seed + j·dim + d)
+# (regenerated with the shared HUGEINT splitmix chain), signature bit j
+# = (Σ_d emb[d]·sign ≥ 0), pairs at Hamming ≤ max_hamming over the
+# nbits-bit signatures, exact cosine on the survivors.  The engine
+# blocks on equal-width bit bands before verifying — lossless by
+# pigeonhole when max_hamming < bands, so the all-pairs SQL is
+# value-identical.
+def _srp_sql(nbits: int = 32, dim: int = 64, seed: int = 7777,
+             max_hamming: int = 7) -> str:
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    p0 AS (
+        SELECT j, d, CAST({seed} + j * {dim} + d AS HUGEINT) AS h
+        FROM range(0, {nbits}) t1(j), range(0, {dim}) t2(d)),
+    {_splitmix_ctes('sp', 'p0', 'j, d').lstrip()},
+    planes AS (
+        SELECT j, d, CASE WHEN (z & 1::HUGEINT) = 1::HUGEINT
+                          THEN 1.0 ELSE -1.0 END AS sgn
+        FROM sp6),
+    proj AS (
+        SELECT vec_id, j, sum(emb[d + 1] * sgn) AS pr
+        FROM e, planes GROUP BY 1, 2),
+    sig AS (
+        SELECT vec_id, sum(CASE WHEN pr >= 0 THEN (1::BIGINT << j)
+                                ELSE 0::BIGINT END)::BIGINT AS s
+        FROM proj GROUP BY 1)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           bit_count(xor(a.s, b.s))::BIGINT AS hamming,
+           {sql_round_half_up("list_cosine_similarity(ea.emb, eb.emb)", 4)} AS cos
+    FROM sig a
+    JOIN sig b ON a.vec_id < b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id
+    JOIN e eb ON eb.vec_id = b.vec_id
+    WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+"""
+
+
 def _redact_sql() -> str:
     """Chained regexp_replace twin of curation.redact_batch: counts are
     taken on the text as it stands BEFORE each replacement (same order),
@@ -462,6 +501,47 @@ def ops_sql() -> dict[str, str]:
                    {sql_round_half_up("score", 4)} AS score
             FROM r WHERE rank <= 5
         """,
+        # unigram-LM quality score: per-doc mean log10 unigram likelihood
+        # under the corpus-fit LM (cf/total); token-less docs score 0.0
+        "lm_score": f"""
+            WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            occ AS (SELECT doc_id, unnest(w) AS term FROM words),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM occ GROUP BY 1, 2),
+            cf AS (SELECT term, count(*)::DOUBLE AS cf FROM occ GROUP BY 1),
+            tot AS (SELECT sum(cf) AS total FROM cf),
+            d AS (SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+                         sum(tf.tf * log10(cf.cf / tot.total)) AS lp
+                  FROM tf JOIN cf USING (term) CROSS JOIN tot GROUP BY 1)
+            SELECT doc_id, n_tokens,
+                   {sql_round_half_up("lp / n_tokens", 4)} AS avg_logprob
+            FROM d
+            UNION ALL
+            SELECT doc_id, 0::BIGINT AS n_tokens, 0.0 AS avg_logprob
+            FROM words WHERE len(w) = 0
+        """,
+        # duplicate-passage detection: per doc, word-5-gram windows whose
+        # gram occurs in >= 2 distinct docs (dup_spans defaults n=5)
+        "dup_spans": f"""
+            WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            idx AS (
+                SELECT doc_id, w, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS i
+                FROM words),
+            wins AS (
+                SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+                FROM idx),
+            nw AS (SELECT doc_id, count(*)::BIGINT AS n_windows
+                   FROM wins GROUP BY 1),
+            dg AS (SELECT gram FROM wins GROUP BY gram
+                   HAVING count(DISTINCT doc_id) >= 2),
+            nd AS (SELECT doc_id, count(*)::BIGINT AS n_dup
+                   FROM wins JOIN dg USING (gram) GROUP BY 1)
+            SELECT nw.doc_id, nw.n_windows,
+                   COALESCE(nd.n_dup, 0)::BIGINT AS n_dup,
+                   {sql_round_half_up("COALESCE(nd.n_dup, 0) / nw.n_windows::DOUBLE", 4)} AS dup_frac
+            FROM nw LEFT JOIN nd USING (doc_id)
+        """,
         # train/eval contamination: docs sharing any word-8-gram with the
         # eval set (doc_id < 10); n_hits = distinct shared grams
         "decontaminate": f"""
@@ -490,6 +570,25 @@ def ops_sql() -> dict[str, str]:
                   floor(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
                                     WHEN 'src2' THEN 1.0 ELSE 0.1 END
                         * 4294967296)::HUGEINT
+        """,
+        # token-budget mixture sampling: per-source exclusive prefix sum
+        # in affine-hash order vs the entry budgets (src0 800, src1 400,
+        # default 200)
+        "budget_sample": f"""
+            WITH t AS (
+                SELECT doc_id, source, len({_WORDS})::BIGINT AS n_tokens,
+                       CAST((doc_id::HUGEINT * 2654435761) % 4294967296
+                            AS BIGINT) AS hkey
+                FROM documents),
+            w AS (
+                SELECT *, COALESCE(sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY hkey, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS excl
+                FROM t)
+            SELECT doc_id, source, n_tokens FROM w
+            WHERE excl < CASE source WHEN 'src0' THEN 800
+                                     WHEN 'src1' THEN 400 ELSE 200 END
         """,
         "pack_sequences": f"""
             WITH t AS (
@@ -566,6 +665,7 @@ def ops_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
         """,
+        "srp_dup_pairs": _srp_sql(),
         # ---- conversation-level ----------------------------------------
         "conversation_stats": _WITH_TRANSCRIPTS
         + """

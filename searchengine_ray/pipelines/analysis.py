@@ -488,3 +488,218 @@ def _tfidf_keywords_join(ds, df_agg, n_docs: int, k: int):
         .groupby("dbkt")
         .map_groups(bucket_topk, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality scoring (perplexity-filter proxy)
+# ---------------------------------------------------------------------------
+
+def _cf_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial collection frequencies (occurrence counts per
+    term) — the combiner before the vocabulary-sized term groupby."""
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    _, flat = _split_tokens(texts)
+    vc = pc.value_counts(flat)
+    return pa.table(
+        {"term": vc.field("values"), "partial_cf": vc.field("counts").cast(pa.int64())}
+    )
+
+
+def _row_term_rows(batch: pa.Table):
+    """Distinct (row_index, term_code, tf) triples of a batch plus the
+    batch dictionary and per-row token counts — the position-indexed
+    sibling of ``_doc_term_rows`` (callers that scatter back into
+    per-row accumulators need positions, not doc ids)."""
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parent, flat = _split_tokens(texts)
+    n_tokens = np.zeros(batch.num_rows, dtype=np.int64)
+    if len(parent):
+        np.add.at(n_tokens, parent, 1)
+        codes = pc.dictionary_encode(flat)
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        idx = codes.indices.to_numpy()
+        order = np.lexsort((idx, parent))
+        p, c = parent[order], idx[order]
+        first = np.r_[True, (p[1:] != p[:-1]) | (c[1:] != c[:-1])]
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.r_[starts, len(p)]).astype(np.int64)
+        return p[starts], c[starts], tf, codes.dictionary, n_tokens
+    return (np.empty(0, np.int64), np.empty(0, np.int64),
+            np.empty(0, np.int64), pa.array([], pa.string()), n_tokens)
+
+
+_LM_OUT = [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+           ("avg_logprob", pa.float64())]
+
+
+def lm_score(sf_dir: str, driver_cap: int | None = None):
+    """Unigram language-model quality score — the closed-form stand-in
+    for the perplexity filter of a pretraining pipeline (no model in
+    the container, and a corpus-fit unigram LM is the SQL-expressible
+    member of that family): per doc,
+
+        avg_logprob = Σ_terms tf · log10(cf(term)/total_tokens) / n_tokens
+
+    (0.0 for token-less docs).  Near-zero ≈ stopword soup, very negative
+    ≈ rare-token noise; training filters cut both tails.
+
+    Two passes, both vectorized (the ``tfidf_keywords`` shape): (1)
+    per-batch partial cf → vocabulary-sized term groupby → sorted-vocab
+    log-prob broadcast; (2) per-batch tf·logprob scatter-add per row —
+    document text never shuffles.  Past ``driver_cap`` vocabulary rows
+    (default ``$GRAFT_DF_BROADCAST_CAP`` or 2M) the broadcast flips to
+    the same bucketed TERM JOIN as ``_tfidf_keywords_join``."""
+    import os as _os
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if driver_cap is None:
+        driver_cap = int(_os.environ.get("GRAFT_DF_BROADCAST_CAP", "2000000"))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cf_agg = (
+        ds.map_batches(_cf_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("partial_cf", alias_name="cf"))
+        .materialize()
+    )
+    total = cf_agg.sum("cf") or 0
+    if cf_agg.count() > driver_cap:
+        return _lm_score_join(ds, cf_agg, total)
+    cf_rows = [t for t in ray.get(cf_agg.to_arrow_refs()) if t.num_rows]
+    if cf_rows:
+        cf_tbl = pa.concat_tables(cf_rows).sort_by("term")
+        vocab = cf_tbl["term"].combine_chunks()
+        lpv = np.log10(cf_tbl["cf"].to_numpy().astype(np.float64) / total)
+    else:
+        vocab, lpv = pa.array([], pa.string()), np.empty(0, np.float64)
+    lookup_ref = ray.put((vocab, lpv))
+
+    def score(batch: pa.Table) -> pa.Table:
+        voc, lp = ray.get(lookup_ref)
+        rows, codes, tf, dictionary, n_tokens = _row_term_rows(batch)
+        lp_doc = np.zeros(batch.num_rows, dtype=np.float64)
+        if len(rows):
+            pos = pc.index_in(dictionary, value_set=voc).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            np.add.at(lp_doc, rows, tf.astype(np.float64) * lp[pos[codes]])
+        avg = np.divide(lp_doc, n_tokens, out=np.zeros_like(lp_doc),
+                        where=n_tokens > 0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "avg_logprob": pa.array(round_half_up(avg, 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _lm_score_join(ds, cf_agg, total: int):
+    """Vocabulary-too-big-to-broadcast path of ``lm_score``: cf rides a
+    union + coarse-term-bucket groupby onto the (doc, term, tf) rows
+    (one vectorized call per bucket), per-doc partials reduce with a
+    native Sum — the ``_tfidf_keywords_join`` plan minus the top-k."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_str_u64
+
+    n_tbkt = max(64, int(cf_agg.count() // _JOIN_BUCKET_VOCAB) + 1)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        rows, codes, tf, dictionary, n_tokens = _row_term_rows(batch)
+        doc_ids = batch["doc_id"].to_numpy()
+        terms = dictionary.take(pa.array(codes, pa.int64()))
+        parts = {
+            "bkt": pa.array((hash_str_u64(terms.to_numpy(zero_copy_only=False))
+                             % n_tbkt).astype(np.int32), pa.int32()),
+            "term": terms,
+            "doc_id": pa.array(doc_ids[rows], pa.int64()),
+            "tf": pa.array(tf, pa.int64()),
+        }
+        # token-less docs bypass the term join entirely (they have no rows)
+        zero = np.flatnonzero(n_tokens == 0)
+        z = pa.table(
+            {"bkt": pa.array(np.full(len(zero), -1, np.int32), pa.int32()),
+             "term": pa.array([""] * len(zero), pa.string()),
+             "doc_id": pa.array(doc_ids[zero], pa.int64()),
+             "tf": pa.array(np.zeros(len(zero), np.int64), pa.int64())}
+        )
+        return pa.concat_tables([pa.table(parts), z])
+
+    def cf_rows(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].combine_chunks() if isinstance(
+            batch["term"], pa.ChunkedArray) else batch["term"]
+        return pa.table(
+            {
+                "bkt": pa.array((hash_str_u64(terms.to_numpy(zero_copy_only=False))
+                                 % n_tbkt).astype(np.int32), pa.int32()),
+                "term": terms,
+                "doc_id": pa.array(np.full(batch.num_rows, -1), pa.int64()),
+                "tf": batch["cf"].cast(pa.int64()),
+            }
+        )
+
+    def attach_cf(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy()
+        tf = group["tf"].to_numpy()
+        # bucket -1 carries only token-less docs: emit zero partials
+        bkt0 = group["bkt"].to_numpy()
+        if len(bkt0) and bkt0[0] == -1:
+            return pa.table(
+                {"doc_id": pa.array(doc, pa.int64()),
+                 "lp_part": pa.array(np.zeros(len(doc)), pa.float64()),
+                 "tok_part": pa.array(np.zeros(len(doc), np.int64), pa.int64())}
+            )
+        is_cf = doc == -1
+        terms = group["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        codes = terms.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cf_of_code = np.zeros(int(codes.max()) + 1 if len(codes) else 1, np.float64)
+        cf_of_code[codes[is_cf]] = tf[is_cf]
+        lp = tf[~is_cf].astype(np.float64) * np.log10(
+            cf_of_code[codes[~is_cf]] / total)
+        d = doc[~is_cf]
+        uniq, inv = np.unique(d, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "lp_part": pa.array(np.bincount(inv, weights=lp), pa.float64()),
+                "tok_part": pa.array(
+                    np.bincount(inv, weights=tf[~is_cf]).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        lp = t["lp_part"].to_numpy()
+        n = t["tok_part"].to_numpy().astype(np.int64)
+        avg = np.divide(lp, n, out=np.zeros_like(lp), where=n > 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n, pa.int64()),
+                "avg_logprob": pa.array(round_half_up(avg, 4), pa.float64()),
+            }
+        )
+
+    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow")
+    cfc = cf_agg.map_batches(cf_rows, batch_format="pyarrow")
+    return (
+        tf_ds.union(cfc)
+        .groupby("bkt")
+        .map_groups(attach_cf, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("lp_part", alias_name="lp_part"),
+                   Sum("tok_part", alias_name="tok_part"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

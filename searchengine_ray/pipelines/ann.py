@@ -443,3 +443,163 @@ def ivf_search(ivf_dir: str, qids: np.ndarray, qmat: np.ndarray, k: int = 10,
                      batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
     )
     return _reduce_topk(parts, k)
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH (random-hyperplane) embedding near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+SRP_SEED = 7777
+
+
+def srp_planes(nbits: int, dim: int, seed: int = SRP_SEED) -> np.ndarray:
+    """Deterministic Rademacher (±1) hyperplanes: sign j,d =
+    parity of splitmix64(seed + j·dim + d).  ±1 entries (not Gaussians)
+    on purpose — the plane matrix is then pure integer-hash math and the
+    DuckDB oracle regenerates it bit-exactly with the shared HUGEINT
+    splitmix chain (oracle/sql_ops.py), keeping the whole signature
+    SQL-checkable."""
+    from ..functions.hashing import splitmix64
+
+    z = splitmix64(np.arange(nbits * dim, dtype=np.uint64) + np.uint64(seed))
+    return np.where((z & np.uint64(1)).astype(bool), 1.0, -1.0).reshape(nbits, dim)
+
+
+class SrpSigStage:
+    """Actor stage: holds the plane matrix (built once per actor), emits
+    (vec_id, sig) — sig packs bit_j = (emb · plane_j ≥ 0) into an int64.
+    One float64 matmul per batch."""
+
+    def __init__(self, nbits: int, dim: int, seed: int = SRP_SEED):
+        self.nbits = nbits
+        self.planes_t = srp_planes(nbits, dim, seed).T  # [dim, nbits]
+        self.weights = (np.uint64(1) << np.arange(nbits, dtype=np.uint64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.int64())})
+        proj = _matrix(batch) @ self.planes_t
+        sig = ((proj >= 0.0).astype(np.uint64) * self.weights[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": batch["vec_id"].cast(pa.int64()),
+                "sig": pa.array(sig.view(np.int64), pa.int64()),
+            }
+        )
+
+
+def srp_dup_pairs(sf_dir: str, nbits: int = 32, bands: int = 8,
+                  max_hamming: int = 7, seed: int = SRP_SEED,
+                  max_block: int = 10**6):
+    """Embedding near-duplicate pairs by sign-random-projection LSH
+    (Charikar 2002 similarity estimation): → (vec_a, vec_b, hamming,
+    cos) for every pair whose ``nbits``-bit SRP signatures differ in at
+    most ``max_hamming`` bits, with the exact cosine verified on the
+    candidates.  The simhash-for-embeddings sibling of
+    ``embedding_dup_pairs`` — candidate generation is banded (``bands``
+    equal bit slices; a pair collides if ANY band matches), so the
+    corpus never goes all-pairs.
+
+    With ``max_hamming < bands`` the banding is LOSSLESS by pigeonhole
+    (h differing bits cannot touch all ``bands`` bands), which is what
+    makes the all-pairs SQL oracle value-identical.  Defaults (32 bits,
+    8 bands of 4) suit the small-sf gate corpus; at scale raise
+    ``nbits``/band width (band buckets must stay discriminative) — the
+    blocking plan is unchanged.  Hot buckets (embedding mega-clusters)
+    are salted, not dropped, by the shared ``_pairs_from_group``."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    from .dedup import (_collect_table, _pairs_from_group, _popcount_u64,
+                        _rows_for_ids)
+
+    assert nbits % bands == 0 and nbits <= 64
+    width = nbits // bands
+    first = next(pq.ParquetFile(f"{sf_dir}/embeddings.parquet").iter_batches(
+        batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0])
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    sigs = ds.map_batches(
+        SrpSigStage, fn_constructor_args=(nbits, dim, seed),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+    ).materialize()
+
+    mask = np.uint64((1 << width) - 1)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy()
+        s = t["sig"].to_numpy().astype(np.uint64)
+        parts = []
+        for b in range(bands):
+            seg = ((s >> np.uint64(width * b)) & mask).astype(np.int64)
+            parts.append(pa.table(
+                {"band": pa.array(np.full(len(doc), b, dtype=np.int32)),
+                 "band_hash": pa.array(seg),
+                 "doc_id": pa.array(doc)}
+            ))
+        return pa.concat_tables(parts)
+
+    cand = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(_pairs_from_group, batch_format="pyarrow",
+                    fn_kwargs={"max_block": max_block, "salt": True})
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .materialize()
+    )
+
+    out_schema = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()),
+         ("hamming", pa.int64()), ("cos", pa.float64())]
+    )
+    needed = sorted(set(cand.unique("doc_a")) | set(cand.unique("doc_b")))
+    if not needed:
+        return out_schema.empty_table()
+
+    # candidate-sized verify state: signatures + normalized embeddings
+    sig_tbl = _rows_for_ids(sigs, needed, pa.schema(
+        [("doc_id", pa.int64()), ("sig", pa.int64())]))
+    emb_ds = ds.map_batches(
+        lambda t: t.select(["vec_id", "embedding"]).rename_columns(
+            ["doc_id", "embedding"]),
+        batch_format="pyarrow")
+    emb_tbl = _rows_for_ids(emb_ds, needed, pa.schema(
+        [("doc_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]))
+    ids = sig_tbl["doc_id"].to_numpy()
+    order = np.argsort(ids)
+    eids = emb_tbl["doc_id"].to_numpy()
+    eorder = np.argsort(eids)
+    if not np.array_equal(ids[order], eids[eorder]):
+        raise ValueError("signature/embedding id sets diverged")
+    mat = _normalize(_matrix(emb_tbl.take(pa.array(eorder, pa.int64()))))
+    lookup_ref = ray.put(
+        (ids[order], sig_tbl["sig"].to_numpy().astype(np.uint64)[order], mat)
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        k, sv, m = ray.get(lookup_ref)
+        ia = np.searchsorted(k, t["doc_a"].to_numpy())
+        ib = np.searchsorted(k, t["doc_b"].to_numpy())
+        ham = _popcount_u64(sv[ia] ^ sv[ib])
+        keep = ham <= max_hamming
+        ia, ib = ia[keep], ib[keep]
+        cos = np.einsum("ij,ij->i", m[ia], m[ib])
+        return pa.table(
+            {
+                "vec_a": t["doc_a"].filter(pa.array(keep)),
+                "vec_b": t["doc_b"].filter(pa.array(keep)),
+                "hamming": pa.array(ham[keep].astype(np.int64)),
+                "cos": pa.array(round_half_up(cos, 4), pa.float64()),
+            }
+        )
+
+    return _collect_table(
+        cand.map_batches(verify, batch_format="pyarrow"), out_schema
+    ).sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])

@@ -1055,3 +1055,125 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, shingle: int = 3,
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# duplicate-passage detection (substring-dedup approximation)
+# ---------------------------------------------------------------------------
+
+def _span_rows(batch: pa.Table, n: int, n_buckets: int) -> pa.Table:
+    """Distinct (doc, gram-hash) rows of a batch with occurrence counts
+    and the doc's total window count riding along — the map side of
+    ``dup_spans``.  Grams never materialize as strings: the window
+    hashes come straight from ``_gram_hashes`` (token bytes hashed once,
+    windows combined polynomially)."""
+    empty = pa.table(
+        {"bucket": pa.array([], pa.int32()),
+         "gram_hash": pa.array([], pa.int64()),
+         "doc_id": pa.array([], pa.int64()),
+         "n_occ": pa.array([], pa.int64()),
+         "n_windows": pa.array([], pa.int64())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    hashes, parents, _, _ = _gram_hashes(batch["text"], n)
+    if not len(hashes):
+        return empty
+    n_windows = np.bincount(parents, minlength=batch.num_rows)
+    # distinct (doc, hash) with multiplicities: one int lexsort +
+    # boundary reduce (same trick as _distinct_rows, plus segment sizes)
+    order = np.lexsort((hashes, parents))
+    p, h = parents[order], hashes[order]
+    first = np.r_[True, (p[1:] != p[:-1]) | (h[1:] != h[:-1])]
+    starts = np.flatnonzero(first)
+    n_occ = np.diff(np.r_[starts, len(p)]).astype(np.int64)
+    pd_, hd = p[starts], h[starts]
+    doc_ids = batch["doc_id"].to_numpy()
+    return pa.table(
+        {
+            "bucket": pa.array((hd % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+            "gram_hash": pa.array(hd.view(np.int64), pa.int64()),
+            "doc_id": pa.array(doc_ids[pd_], pa.int64()),
+            "n_occ": pa.array(n_occ, pa.int64()),
+            "n_windows": pa.array(n_windows[pd_], pa.int64()),
+        }
+    )
+
+
+def _span_mark_bucket(group: pa.Table) -> pa.Table:
+    """One hash bucket: a gram is duplicated iff ≥2 distinct docs carry
+    it (rows are distinct per (doc, hash) by construction, so the
+    per-hash row count IS the doc count).  Emits per-doc PARTIALS
+    (dup window occurrences + the doc's total) so the final doc groupby
+    exchanges one small row per (doc, bucket)."""
+    h = group["gram_hash"].to_numpy()
+    doc = group["doc_id"].to_numpy()
+    occ = group["n_occ"].to_numpy()
+    nw = group["n_windows"].to_numpy()
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    first = np.r_[True, hs[1:] != hs[:-1]]
+    seg = np.cumsum(first) - 1
+    seg_count = np.bincount(seg)
+    dup = seg_count[seg] >= 2          # per sorted row: hash shared by ≥2 docs
+    dup_occ = np.zeros(len(h), dtype=np.int64)
+    dup_occ[order] = np.where(dup, occ[order], 0)
+    # reduce to one row per doc within this bucket
+    uniq, inv = np.unique(doc, return_inverse=True)
+    dup_sum = np.bincount(inv, weights=dup_occ).astype(np.int64)
+    nw_first = np.zeros(len(uniq), dtype=np.int64)
+    nw_first[inv] = nw                  # any row's n_windows — constant per doc
+    return pa.table(
+        {
+            "doc_id": pa.array(uniq, pa.int64()),
+            "dup_occ": pa.array(dup_sum, pa.int64()),
+            "n_windows": pa.array(nw_first, pa.int64()),
+        }
+    )
+
+
+def dup_spans(sf_dir: str, n: int = 5, n_buckets: int = 1024):
+    """Duplicate-passage detection (the window approximation of
+    substring training-data dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): for every doc with at
+    least one word-``n``-gram window, how many of its windows also occur
+    in ANOTHER document.  → (doc_id, n_windows, n_dup, dup_frac) —
+    ``dup_frac`` ≈ 1 means the doc is assembled from repeated passages.
+
+    Shape at scale: windows are HASHED (u64 rolling hash, never a gram
+    string) and exchanged as (hash, doc, counts) rows; the duplicated-
+    gram decision groups on a COARSE HASH BUCKET (one vectorized call
+    per bucket, the ``_cc_round_bucket`` fix for tiny-group storms) and
+    emits per-(doc, bucket) partials, so the final per-doc reduce is a
+    native Sum/Min aggregate.  Document text never shuffles.  A u64
+    hash collision can mark a unique window duplicated (birthday odds
+    ~n_grams²/2⁶⁵ — negligible below ~10⁹ distinct grams); the
+    string-confirm upgrade for beyond-that corpora is the
+    ``decontaminate`` survivor pattern."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    per_doc = (
+        ds.map_batches(_span_rows, batch_format="pyarrow",
+                       fn_kwargs={"n": n, "n_buckets": n_buckets})
+        .groupby("bucket")
+        .map_groups(_span_mark_bucket, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("dup_occ", alias_name="n_dup"),
+                   Min("n_windows", alias_name="n_windows"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_dup"].to_numpy().astype(np.int64)
+        nw = t["n_windows"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_windows": pa.array(nw, pa.int64()),
+                "n_dup": pa.array(nd, pa.int64()),
+                "dup_frac": pa.array(round_half_up(nd / nw, 4), pa.float64()),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

@@ -166,6 +166,24 @@ def q_tfidf_keywords(sf_dir: str):
     return analysis.tfidf_keywords(sf_dir, k=5)
 
 
+def q_lm_score(sf_dir: str):
+    return analysis.lm_score(sf_dir)
+
+
+def q_dup_spans(sf_dir: str):
+    return dedup.dup_spans(sf_dir, n=5)
+
+
+def q_srp_dup_pairs(sf_dir: str):
+    return ann.srp_dup_pairs(sf_dir)
+
+
+def q_budget_sample(sf_dir: str):
+    from . import sampling
+
+    return sampling.budget_sample(sf_dir, {"src0": 800, "src1": 400}, default=200)
+
+
 def q_dedup_clusters(sf_dir: str):
     return dedup.dedup_clusters(sf_dir, threshold=0.8)
 
@@ -187,7 +205,11 @@ OPS_QUERIES = {
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dup_spans": q_dup_spans,
     "tfidf_keywords": q_tfidf_keywords,
+    "lm_score": q_lm_score,
+    "srp_dup_pairs": q_srp_dup_pairs,
+    "budget_sample": q_budget_sample,
     "redact_pii": q_redact_pii,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,

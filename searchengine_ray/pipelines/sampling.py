@@ -110,3 +110,96 @@ def pack_sequences(sf_dir: str, budget: int = 512):
     # phase 2: block-local assignment, results stay distributed
     out_refs = [assign_bins.remote(r, int(off)) for r, off in zip(refs, offsets)]
     return rd.from_arrow_refs(out_refs)
+
+
+def _budget_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, source, n_tokens, hkey) rows — the sampling key is the
+    same affine hash as ``stratified_sample``, so the per-source order
+    is a deterministic shuffle both engines reproduce exactly."""
+    from .analysis import row_token_counts
+
+    ids = batch["doc_id"].to_numpy().astype(np.uint64)
+    h = ((ids * np.uint64(SAMPLE_A)) % np.uint64(SAMPLE_M)).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "n_tokens": pa.array(row_token_counts(batch), pa.int64()),
+            "hkey": pa.array(h, pa.int64()),
+        }
+    )
+
+
+def budget_sample(sf_dir: str, budgets: dict[str, int], default: int = 0):
+    """Token-budget mixture sampling — the domain-mixing primitive that
+    fills per-source TOKEN quotas instead of per-doc rates: docs stream
+    in deterministic affine-hash order within their source, and a doc
+    is kept iff the tokens taken from its source BEFORE it (exclusive
+    prefix sum) are still under the source's budget.  → Dataset
+    (doc_id, source, n_tokens) of the sampled mix.
+
+    Distributed as an ordered per-source prefix scan, the
+    ``pack_sequences`` two-phase shape generalized to keyed segments:
+    sort on (source, hkey, doc_id) leaves each source contiguous and
+    ordered across blocks; phase 1 fetches one (source, sum) row per
+    block-segment; the driver folds those into per-(block, source)
+    exclusive offsets (a blocks × sources-touched array, never data);
+    phase 2 assigns keeps block-locally.  Blocks stay in the object
+    store throughout."""
+    import ray
+    import ray.data as rd
+
+    budgets = dict(budgets)
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()),
+         ("n_tokens", pa.int64())]
+    )
+    rows = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "source", "text"])
+        .map_batches(_budget_rows, batch_format="pyarrow")
+        .sort(["source", "hkey", "doc_id"])
+    )
+    refs = rows.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+
+    @ray.remote
+    def segment_sums(tbl: pa.Table) -> list[tuple[str, int]]:
+        src = tbl["source"].to_numpy(zero_copy_only=False)
+        n = tbl["n_tokens"].to_numpy()
+        out: list[tuple[str, int]] = []
+        if len(src):
+            bounds = np.r_[0, np.flatnonzero(src[1:] != src[:-1]) + 1, len(src)]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                out.append((str(src[lo]), int(n[lo:hi].sum())))
+        return out
+
+    @ray.remote
+    def assign_keep(tbl: pa.Table, offsets: dict[str, int]) -> pa.Table:
+        src = tbl["source"].to_numpy(zero_copy_only=False)
+        n = tbl["n_tokens"].to_numpy().astype(np.int64)
+        keep = np.zeros(len(src), dtype=bool)
+        if len(src):
+            bounds = np.r_[0, np.flatnonzero(src[1:] != src[:-1]) + 1, len(src)]
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                s = str(src[lo])
+                excl = offsets.get(s, 0) + np.cumsum(n[lo:hi]) - n[lo:hi]
+                keep[lo:hi] = excl < budgets.get(s, default)
+        return tbl.filter(pa.array(keep)).select(
+            ["doc_id", "source", "n_tokens"])
+
+    # phase 1: one (source, sum) row per block-segment leaves the store
+    sums = ray.get([segment_sums.remote(r) for r in refs])
+    running: dict[str, int] = {}
+    offsets_per_block: list[dict[str, int]] = []
+    for segs in sums:
+        offsets_per_block.append(
+            {s: running.get(s, 0) for s, _ in segs}
+        )
+        for s, tot in segs:
+            running[s] = running.get(s, 0) + tot
+    # phase 2: block-local keep assignment, results stay distributed
+    out_refs = [assign_keep.remote(r, off)
+                for r, off in zip(refs, offsets_per_block)]
+    return rd.from_arrow_refs(out_refs)
