@@ -388,26 +388,23 @@ _JOIN_BUCKET_VOCAB = 100_000  # terms per term-bucket group
 _JOIN_BUCKET_DOCS = 50_000    # docs per doc-bucket group
 
 
-def _tfidf_keywords_join(ds, df_agg, n_docs: int, k: int):
-    """Vocabulary-too-big-to-broadcast path of ``tfidf_keywords``: a
-    union + groupby attaches df to the exploded (doc_id, term, tf) rows
-    (Ray Data's join, without materializing either side), then a second
-    groupby selects each doc's top-k with the same (1e-6-rounded score
-    desc, term asc) tie-break as the broadcast path — bit-identical
-    output, two shuffles of token ROWS only.
-
-    Both groupbys key on a COARSE HASH BUCKET (``hash(term) % B`` /
-    ``doc_id % B``, B sized from the vocab / doc counts) rather than the
-    raw term / doc_id: one vectorized group call per bucket instead of
-    one Python call per term and per document — the same
-    tiny-group-storm fix as ``dedup._cc_round_bucket``.  A single
-    stop-word-grade head term still lands all its rows in one bucket
-    (inherent to any per-term join); the in-bucket work stays one
-    lexsort either way."""
+def _term_value_rows(ds, carrier, value_col: str):
+    """Union + coarse-term-bucket groupby attaching a per-term VALUE
+    (df, cf, ...) from the ``carrier`` aggregate to the exploded
+    (doc_id, term, tf) token rows — Ray Data's term join without
+    materializing either side, shared by ``_tfidf_keywords_join`` and
+    ``_lm_score_join`` so the carrier-row marker (doc_id == -1), the
+    bucket sizing and the factorize-and-scatter attach live in ONE
+    place.  The groupby keys on ``hash(term) % B`` (one vectorized call
+    per bucket instead of one Python call per term — the
+    ``dedup._cc_round_bucket`` tiny-group-storm fix); a stop-word-grade
+    head term still lands all its rows in one bucket (inherent to any
+    per-term join), where the in-bucket work stays one factorize +
+    scatter.  → Dataset (doc_id, term, tf, val) of token rows only;
+    carrier rows are consumed inside their group."""
     from ..functions.hashing import hash_str_u64
 
-    n_tbkt = max(64, int(df_agg.count() // _JOIN_BUCKET_VOCAB) + 1)
-    n_dbkt = max(64, int(n_docs // _JOIN_BUCKET_DOCS) + 1)
+    n_tbkt = max(64, int(carrier.count() // _JOIN_BUCKET_VOCAB) + 1)
 
     def tf_rows(batch: pa.Table) -> pa.Table:
         doc_ids, terms, tf = _doc_term_rows(batch)
@@ -421,8 +418,8 @@ def _tfidf_keywords_join(ds, df_agg, n_docs: int, k: int):
             }
         )
 
-    def df_rows(batch: pa.Table) -> pa.Table:
-        # df carrier rows: doc_id = -1 marks them inside the term group
+    def carrier_rows(batch: pa.Table) -> pa.Table:
+        # value carrier rows: doc_id = -1 marks them inside the term group
         terms = batch["term"].combine_chunks() if isinstance(
             batch["term"], pa.ChunkedArray) else batch["term"]
         return pa.table(
@@ -431,32 +428,60 @@ def _tfidf_keywords_join(ds, df_agg, n_docs: int, k: int):
                                  % n_tbkt).astype(np.int32), pa.int32()),
                 "term": terms,
                 "doc_id": pa.array(np.full(batch.num_rows, -1), pa.int64()),
-                "tf": batch["df"].cast(pa.int64()),
+                "tf": batch[value_col].cast(pa.int64()),
             }
         )
 
-    def attach_df(group: pa.Table) -> pa.Table:
-        """One term-bucket: factorize terms, scatter each term's df
-        carrier into a per-code table, score every token row — all
+    def attach(group: pa.Table) -> pa.Table:
+        """One term-bucket: factorize terms, scatter each term's carrier
+        value into a per-code table, annotate every token row — all
         vectorized, no per-term dispatch."""
         doc = group["doc_id"].to_numpy()
         tf = group["tf"].to_numpy()
-        is_df = doc == -1
+        is_c = doc == -1
         terms = group["term"]
         if isinstance(terms, pa.ChunkedArray):
             terms = terms.combine_chunks()
         codes = terms.dictionary_encode().indices.to_numpy(
             zero_copy_only=False).astype(np.int64)
-        df_of_code = np.zeros(int(codes.max()) + 1 if len(codes) else 1, np.float64)
-        df_of_code[codes[is_df]] = tf[is_df]
-        score = tf[~is_df].astype(np.float64) * np.log10(
-            n_docs / df_of_code[codes[~is_df]])
-        keep = pa.array(np.flatnonzero(~is_df), pa.int64())
+        val_of_code = np.zeros(int(codes.max()) + 1 if len(codes) else 1, np.float64)
+        val_of_code[codes[is_c]] = tf[is_c]
+        keep = pa.array(np.flatnonzero(~is_c), pa.int64())
         return pa.table(
             {
-                "dbkt": pa.array((doc[~is_df] % n_dbkt).astype(np.int32), pa.int32()),
-                "doc_id": pa.array(doc[~is_df], pa.int64()),
+                "doc_id": pa.array(doc[~is_c], pa.int64()),
                 "term": terms.take(keep),
+                "tf": pa.array(tf[~is_c], pa.int64()),
+                "val": pa.array(val_of_code[codes[~is_c]], pa.float64()),
+            }
+        )
+
+    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow")
+    carrier_ds = carrier.map_batches(carrier_rows, batch_format="pyarrow")
+    return (
+        tf_ds.union(carrier_ds)
+        .groupby("bkt")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+
+def _tfidf_keywords_join(ds, df_agg, n_docs: int, k: int):
+    """Vocabulary-too-big-to-broadcast path of ``tfidf_keywords``: the
+    shared ``_term_value_rows`` term join attaches df to the token rows,
+    then a doc-bucket groupby selects each doc's top-k with the same
+    (1e-6-rounded score desc, term asc) tie-break as the broadcast path
+    — bit-identical output, two shuffles of token ROWS only."""
+    n_dbkt = max(64, int(n_docs // _JOIN_BUCKET_DOCS) + 1)
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy()
+        score = t["tf"].to_numpy().astype(np.float64) * np.log10(
+            n_docs / t["val"].to_numpy())
+        return pa.table(
+            {
+                "dbkt": pa.array((doc % n_dbkt).astype(np.int32), pa.int32()),
+                "doc_id": t["doc_id"],
+                "term": t["term"],
                 "score": pa.array(score, pa.float64()),
             }
         )
@@ -479,12 +504,9 @@ def _tfidf_keywords_join(ds, df_agg, n_docs: int, k: int):
             }
         )
 
-    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow")
-    dfc = df_agg.map_batches(df_rows, batch_format="pyarrow")
     return (
-        tf_ds.union(dfc)
-        .groupby("bkt")
-        .map_groups(attach_df, batch_format="pyarrow")
+        _term_value_rows(ds, df_agg, "df")
+        .map_batches(score_rows, batch_format="pyarrow")
         .groupby("dbkt")
         .map_groups(bucket_topk, batch_format="pyarrow")
     )
@@ -604,79 +626,34 @@ def lm_score(sf_dir: str, driver_cap: int | None = None):
 
 
 def _lm_score_join(ds, cf_agg, total: int):
-    """Vocabulary-too-big-to-broadcast path of ``lm_score``: cf rides a
-    union + coarse-term-bucket groupby onto the (doc, term, tf) rows
-    (one vectorized call per bucket), per-doc partials reduce with a
-    native Sum — the ``_tfidf_keywords_join`` plan minus the top-k."""
+    """Vocabulary-too-big-to-broadcast path of ``lm_score``: the shared
+    ``_term_value_rows`` term join attaches cf to the token rows,
+    per-doc partials reduce with a native Sum, and token-less docs
+    bypass the join as direct zero rows."""
     from ray.data.aggregate import Sum
 
-    from ..functions.hashing import hash_str_u64
-
-    n_tbkt = max(64, int(cf_agg.count() // _JOIN_BUCKET_VOCAB) + 1)
-
-    def tf_rows(batch: pa.Table) -> pa.Table:
-        rows, codes, tf, dictionary, n_tokens = _row_term_rows(batch)
-        doc_ids = batch["doc_id"].to_numpy()
-        terms = dictionary.take(pa.array(codes, pa.int64()))
-        parts = {
-            "bkt": pa.array((hash_str_u64(terms.to_numpy(zero_copy_only=False))
-                             % n_tbkt).astype(np.int32), pa.int32()),
-            "term": terms,
-            "doc_id": pa.array(doc_ids[rows], pa.int64()),
-            "tf": pa.array(tf, pa.int64()),
-        }
-        # token-less docs bypass the term join entirely (they have no rows)
-        zero = np.flatnonzero(n_tokens == 0)
-        z = pa.table(
-            {"bkt": pa.array(np.full(len(zero), -1, np.int32), pa.int32()),
-             "term": pa.array([""] * len(zero), pa.string()),
-             "doc_id": pa.array(doc_ids[zero], pa.int64()),
-             "tf": pa.array(np.zeros(len(zero), np.int64), pa.int64())}
-        )
-        return pa.concat_tables([pa.table(parts), z])
-
-    def cf_rows(batch: pa.Table) -> pa.Table:
-        terms = batch["term"].combine_chunks() if isinstance(
-            batch["term"], pa.ChunkedArray) else batch["term"]
-        return pa.table(
-            {
-                "bkt": pa.array((hash_str_u64(terms.to_numpy(zero_copy_only=False))
-                                 % n_tbkt).astype(np.int32), pa.int32()),
-                "term": terms,
-                "doc_id": pa.array(np.full(batch.num_rows, -1), pa.int64()),
-                "tf": batch["cf"].cast(pa.int64()),
-            }
-        )
-
-    def attach_cf(group: pa.Table) -> pa.Table:
-        doc = group["doc_id"].to_numpy()
-        tf = group["tf"].to_numpy()
-        # bucket -1 carries only token-less docs: emit zero partials
-        bkt0 = group["bkt"].to_numpy()
-        if len(bkt0) and bkt0[0] == -1:
-            return pa.table(
-                {"doc_id": pa.array(doc, pa.int64()),
-                 "lp_part": pa.array(np.zeros(len(doc)), pa.float64()),
-                 "tok_part": pa.array(np.zeros(len(doc), np.int64), pa.int64())}
-            )
-        is_cf = doc == -1
-        terms = group["term"]
-        if isinstance(terms, pa.ChunkedArray):
-            terms = terms.combine_chunks()
-        codes = terms.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        cf_of_code = np.zeros(int(codes.max()) + 1 if len(codes) else 1, np.float64)
-        cf_of_code[codes[is_cf]] = tf[is_cf]
-        lp = tf[~is_cf].astype(np.float64) * np.log10(
-            cf_of_code[codes[~is_cf]] / total)
-        d = doc[~is_cf]
-        uniq, inv = np.unique(d, return_inverse=True)
+    def partials(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy()
+        tf = t["tf"].to_numpy().astype(np.float64)
+        lp = tf * np.log10(t["val"].to_numpy() / total)
+        uniq, inv = np.unique(doc, return_inverse=True)
         return pa.table(
             {
                 "doc_id": pa.array(uniq, pa.int64()),
                 "lp_part": pa.array(np.bincount(inv, weights=lp), pa.float64()),
                 "tok_part": pa.array(
-                    np.bincount(inv, weights=tf[~is_cf]).astype(np.int64), pa.int64()),
+                    np.bincount(inv, weights=tf).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        zero = np.flatnonzero(row_token_counts(batch) == 0)
+        ids = batch["doc_id"].to_numpy()[zero]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lp_part": pa.array(np.zeros(len(ids)), pa.float64()),
+                "tok_part": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
             }
         )
 
@@ -692,12 +669,11 @@ def _lm_score_join(ds, cf_agg, total: int):
             }
         )
 
-    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow")
-    cfc = cf_agg.map_batches(cf_rows, batch_format="pyarrow")
+    joined = _term_value_rows(ds, cf_agg, "cf").map_batches(
+        partials, batch_format="pyarrow")
+    zeros = ds.map_batches(zero_rows, batch_format="pyarrow")
     return (
-        tf_ds.union(cfc)
-        .groupby("bkt")
-        .map_groups(attach_cf, batch_format="pyarrow")
+        joined.union(zeros)
         .groupby("doc_id")
         .aggregate(Sum("lp_part", alias_name="lp_part"),
                    Sum("tok_part", alias_name="tok_part"))

@@ -519,8 +519,14 @@ def srp_dup_pairs(sf_dir: str, nbits: int = 32, bands: int = 8,
 
     assert nbits % bands == 0 and nbits <= 64
     width = nbits // bands
+    out_schema = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()),
+         ("hamming", pa.int64()), ("cos", pa.float64())]
+    )
     first = next(pq.ParquetFile(f"{sf_dir}/embeddings.parquet").iter_batches(
-        batch_size=1, columns=["embedding"]))
+        batch_size=1, columns=["embedding"]), None)
+    if first is None:  # zero-row embeddings table
+        return out_schema.empty_table()
     dim = len(first["embedding"][0])
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -555,11 +561,9 @@ def srp_dup_pairs(sf_dir: str, nbits: int = 32, bands: int = 8,
         .materialize()
     )
 
-    out_schema = pa.schema(
-        [("vec_a", pa.int64()), ("vec_b", pa.int64()),
-         ("hamming", pa.int64()), ("cos", pa.float64())]
-    )
-    needed = sorted(set(cand.unique("doc_a")) | set(cand.unique("doc_b")))
+    # unique() yields None (not []) on an all-empty dataset
+    needed = sorted(set(cand.unique("doc_a") or [])
+                    | set(cand.unique("doc_b") or []))
     if not needed:
         return out_schema.empty_table()
 

@@ -613,7 +613,8 @@ def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
     full_schema = (
         out_schema.append(pa.field("jaccard", pa.float64())) if verify else out_schema
     )
-    needed = sorted(set(cand.unique("doc_a")) | set(cand.unique("doc_b")))
+    needed = sorted(set(cand.unique("doc_a") or [])
+                    | set(cand.unique("doc_b") or []))  # unique() is None on empty
     if not needed:
         return full_schema.empty_table()
 
@@ -710,7 +711,8 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = 0.8, shingle: int = 3
     out_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
     )
-    needed = sorted(set(cand.unique("doc_a")) | set(cand.unique("doc_b")))
+    needed = sorted(set(cand.unique("doc_a") or [])
+                    | set(cand.unique("doc_b") or []))  # unique() is None on empty
     if not needed:
         return out_schema.empty_table()
 
@@ -823,7 +825,8 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3, max_block: int = 200):
     out_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
     )
-    needed = sorted(set(cand.unique("doc_a")) | set(cand.unique("doc_b")))
+    needed = sorted(set(cand.unique("doc_a") or [])
+                    | set(cand.unique("doc_b") or []))  # unique() is None on empty
     if not needed:
         return out_schema.empty_table()
 

@@ -88,12 +88,21 @@ def pack_sequences(sf_dir: str, budget: int = 512):
                       "bin": pa.array([], pa.int64())})
         )
 
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("bin", pa.int64())]
+    )
+
     @ray.remote
     def block_sum(tbl: pa.Table) -> int:
+        # Ray's sort can emit schema-LESS empty blocks (no columns at all)
+        if tbl.num_rows == 0 or "n_tokens" not in tbl.schema.names:
+            return 0
         return int(np.sum(tbl["n_tokens"].to_numpy()))
 
     @ray.remote
     def assign_bins(tbl: pa.Table, offset: int) -> pa.Table:
+        if tbl.num_rows == 0 or "n_tokens" not in tbl.schema.names:
+            return out_schema.empty_table()
         n = tbl["n_tokens"].to_numpy()
         excl = offset + np.cumsum(n) - n
         return pa.table(
@@ -166,6 +175,9 @@ def budget_sample(sf_dir: str, budgets: dict[str, int], default: int = 0):
 
     @ray.remote
     def segment_sums(tbl: pa.Table) -> list[tuple[str, int]]:
+        # Ray's sort can emit schema-LESS empty blocks (no columns at all)
+        if tbl.num_rows == 0 or "source" not in tbl.schema.names:
+            return []
         src = tbl["source"].to_numpy(zero_copy_only=False)
         n = tbl["n_tokens"].to_numpy()
         out: list[tuple[str, int]] = []
@@ -177,6 +189,8 @@ def budget_sample(sf_dir: str, budgets: dict[str, int], default: int = 0):
 
     @ray.remote
     def assign_keep(tbl: pa.Table, offsets: dict[str, int]) -> pa.Table:
+        if tbl.num_rows == 0 or "source" not in tbl.schema.names:
+            return out_schema.empty_table()
         src = tbl["source"].to_numpy(zero_copy_only=False)
         n = tbl["n_tokens"].to_numpy().astype(np.int64)
         keep = np.zeros(len(src), dtype=bool)

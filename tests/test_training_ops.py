@@ -182,3 +182,47 @@ def test_training_ops_match_sql_oracles(planted_dir):
                 assert np.allclose(r[c], o[c], rtol=0, atol=1e-9), (name, c)
             else:
                 assert (r[c].values == o[c].values).all(), (name, c)
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_corpus")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string()),
+                  "lang": pa.array([], pa.string()),
+                  "source": pa.array([], pa.string()),
+                  "n_chars": pa.array([], pa.int64())}),
+        str(d / "documents.parquet"))
+    pq.write_table(
+        pa.table({"vec_id": pa.array([], pa.int64()),
+                  "embedding": pa.array([], pa.list_(pa.float32())),
+                  "label": pa.array([], pa.int32())}),
+        str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_empty_corpus_returns_empty_not_crash(empty_dir):
+    """Review regression: zero-row inputs must yield empty results —
+    srp's unique()-returns-None, budget/pack's schema-less empty sort
+    blocks, and the empty lm vocabulary all crashed before the fix."""
+    assert ann.srp_dup_pairs(empty_dir).num_rows == 0
+    assert sampling.budget_sample(empty_dir, {"src0": 10}).count() == 0
+    assert sampling.pack_sequences(empty_dir).count() == 0
+    assert dedup.dup_spans(empty_dir).count() == 0
+    assert analysis.lm_score(empty_dir).count() == 0
+
+
+def test_srp_no_band_collision_returns_empty(tmp_path):
+    """Opposite vectors: signatures are bitwise complements, so no band
+    collides and the candidate set is EMPTY — unique() returns None
+    there (review regression)."""
+    v = np.ones(DIM, dtype=np.float32)
+    pq.write_table(
+        pa.table({"vec_id": pa.array([0, 1], pa.int64()),
+                  "embedding": pa.array(
+                      [list(map(float, v)), list(map(float, -v))],
+                      pa.list_(pa.float32())),
+                  "label": pa.array([0, 0], pa.int32())}),
+        str(tmp_path / "embeddings.parquet"))
+    assert ann.srp_dup_pairs(str(tmp_path)).num_rows == 0
