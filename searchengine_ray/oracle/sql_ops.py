@@ -666,6 +666,42 @@ def ops_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
         """,
         "srp_dup_pairs": _srp_sql(),
+        # SemDeDup-style cluster assignment: same medoid quantizer and
+        # floor(cos·1e6+0.5)/lowest-cnum keys as the IVF twin above
+        "embedding_clusters": f"""
+            WITH cent AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS ce,
+                       row_number() OVER (
+                           ORDER BY (vec_id * 2654435761 + 99) % 4294967296) - 1 AS cnum
+                FROM embeddings
+                ORDER BY (vec_id * 2654435761 + 99) % 4294967296
+                LIMIT 16)
+            SELECT e.vec_id, cnum::BIGINT AS cluster,
+                   {r4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ce)", 4)} AS cos
+            FROM embeddings e, cent
+            QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY floor(list_cosine_similarity(
+                             CAST(e.embedding AS DOUBLE[]), ce) * 1000000 + 0.5) DESC,
+                         cnum) = 1
+        """,
+        # cross-source contamination matrix: distinct word-5-grams shared
+        # by each source pair (source_overlap defaults n=5)
+        "source_overlap": f"""
+            WITH words AS (SELECT doc_id, source, {_WORDS} AS w FROM documents),
+            idx AS (
+                SELECT source, w, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS i
+                FROM words),
+            g AS (
+                SELECT DISTINCT source,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+                FROM idx)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*)::BIGINT AS n_shared
+            FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+            GROUP BY 1, 2
+        """,
         # ---- conversation-level ----------------------------------------
         "conversation_stats": _WITH_TRANSCRIPTS
         + """

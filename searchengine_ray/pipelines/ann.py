@@ -607,3 +607,45 @@ def srp_dup_pairs(sf_dir: str, nbits: int = 32, bands: int = 8,
     return _collect_table(
         cand.map_batches(verify, batch_format="pyarrow"), out_schema
     ).sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
+def embedding_clusters(sf_dir: str, n_clusters: int = 16,
+                       quantizer: str = "medoid", seed: int = 99):
+    """SemDeDup-style embedding clustering: every vector assigned to its
+    nearest coarse centroid → (vec_id, cluster, cos).  The cluster
+    column is the semantic-dedup / data-mixing bucket (drop-all-but-one
+    inside tight clusters, or reweight clusters in the training mix);
+    the IVF index is this same assignment persisted.
+
+    Default quantizer is the seeded MEDOID sample shared with
+    ``ivf_topk`` — SQL-expressible, so the driver checks assignments
+    value-exactly; ``quantizer="kmeans"`` refines the same sample with
+    k-means-lite when cell quality matters more than oracle parity.
+    One broadcast of the (n_clusters × dim) matrix, one matmul per
+    batch; nothing shuffles."""
+    import ray
+    import ray.data as rd
+
+    cent_n = _centroids(sf_dir, n_clusters, seed=seed, quantizer=quantizer)
+    ref = ray.put(cent_n)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        cent = ray.get(ref)
+        m_n = _normalize(_matrix(batch))
+        cl = np.argmax(_assign_keys(m_n, cent), axis=1)  # first max = lowest cnum
+        cos = np.einsum("ij,ij->i", m_n, cent[cl])
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "cluster": pa.array(cl.astype(np.int64), pa.int64()),
+                "cos": pa.array(round_half_up(cos, 4), pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1180,3 +1180,101 @@ def dup_spans(sf_dir: str, n: int = 5, n_buckets: int = 1024):
         )
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cross-source contamination matrix
+# ---------------------------------------------------------------------------
+
+def _source_gram_rows(batch: pa.Table, n: int, n_buckets: int) -> pa.Table:
+    """Distinct (gram-hash, source) rows of a batch — the map side of
+    ``source_overlap`` (same hashed-window plan as ``dup_spans``)."""
+    empty = pa.table(
+        {"bucket": pa.array([], pa.int32()),
+         "gram_hash": pa.array([], pa.int64()),
+         "source": pa.array([], pa.string())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    hashes, parents, _, _ = _gram_hashes(batch["text"], n)
+    if not len(hashes):
+        return empty
+    src = batch["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    codes = src.dictionary_encode().indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sc = codes[parents]
+    order = np.lexsort((sc, hashes))
+    h, s = hashes[order], sc[order]
+    first = np.r_[True, (h[1:] != h[:-1]) | (s[1:] != s[:-1])]
+    hd, sd = h[first], s[first]
+    return pa.table(
+        {
+            "bucket": pa.array((hd % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+            "gram_hash": pa.array(hd.view(np.int64), pa.int64()),
+            "source": src.dictionary_encode().dictionary.take(
+                pa.array(sd, pa.int64())),
+        }
+    )
+
+
+def _overlap_bucket(group: pa.Table) -> pa.Table:
+    """One hash bucket: dedupe (hash, source) globally, then emit one
+    row per (source pair, gram) — each shared gram contributes 1 to its
+    pair's partial count.  Segments (sources per gram) are bounded by
+    the source cardinality, so the per-segment pair emission loop runs
+    only over SHARED grams and tiny segments."""
+    h = group["gram_hash"].to_numpy()
+    s = group["source"].to_numpy(zero_copy_only=False)
+    # global (hash, source) dedupe: batches may repeat pairs
+    order = np.lexsort((s, h))
+    h, s = h[order], s[order]
+    first = np.r_[True, (h[1:] != h[:-1]) | (s[1:] != s[:-1])]
+    h, s = h[first], s[first]
+    starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+    sizes = np.diff(np.r_[starts, len(h)])
+    a_parts, b_parts = [], []
+    for st, k in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+        ia, ib = np.triu_indices(int(k), k=1)
+        a_parts.append(s[st + ia])
+        b_parts.append(s[st + ib])
+    if not a_parts:
+        return pa.table({"source_a": pa.array([], pa.string()),
+                         "source_b": pa.array([], pa.string()),
+                         "partial": pa.array([], pa.int64())})
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    # sources are sorted within each segment already (lexsort), a < b
+    return pa.table(
+        {
+            "source_a": pa.array(a, pa.string()),
+            "source_b": pa.array(b, pa.string()),
+            "partial": pa.array(np.ones(len(a), np.int64), pa.int64()),
+        }
+    )
+
+
+def source_overlap(sf_dir: str, n: int = 5, n_buckets: int = 1024):
+    """Cross-source contamination matrix: for every source pair, how
+    many DISTINCT word-``n``-grams the two sources share.  → (source_a,
+    source_b, n_shared), pairs with at least one shared gram.  The
+    domain-level diagnostic behind ``dup_spans``: a hot cell means two
+    "independent" corpus slices feed the model the same passages.
+
+    Same scale shape as ``dup_spans``: hashed windows, coarse-bucket
+    groupby (buckets partition hashes, so no pair is counted twice),
+    per-bucket partials reduced by a native Sum; text never shuffles."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    return (
+        ds.map_batches(_source_gram_rows, batch_format="pyarrow",
+                       fn_kwargs={"n": n, "n_buckets": n_buckets})
+        .groupby("bucket")
+        .map_groups(_overlap_bucket, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("partial", alias_name="n_shared"))
+    )

@@ -178,6 +178,14 @@ def q_srp_dup_pairs(sf_dir: str):
     return ann.srp_dup_pairs(sf_dir)
 
 
+def q_embedding_clusters(sf_dir: str):
+    return ann.embedding_clusters(sf_dir)
+
+
+def q_source_overlap(sf_dir: str):
+    return dedup.source_overlap(sf_dir, n=5)
+
+
 def q_budget_sample(sf_dir: str):
     from . import sampling
 
@@ -210,6 +218,8 @@ OPS_QUERIES = {
     "lm_score": q_lm_score,
     "srp_dup_pairs": q_srp_dup_pairs,
     "budget_sample": q_budget_sample,
+    "embedding_clusters": q_embedding_clusters,
+    "source_overlap": q_source_overlap,
     "redact_pii": q_redact_pii,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,

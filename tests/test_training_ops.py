@@ -149,6 +149,25 @@ def test_budget_sample_deterministic(planted_dir):
         b.sort_values(key).reset_index(drop=True))
 
 
+def test_embedding_clusters_groups_identical_vectors(planted_dir):
+    res = ann.embedding_clusters(planted_dir).to_pandas().set_index("vec_id")
+    assert len(res) == 40
+    # the planted identical embeddings land in the same cluster with the
+    # same (rounded) cosine to its centroid
+    assert res.loc[1].cluster == res.loc[2].cluster
+    assert res.loc[1].cos == res.loc[2].cos
+    assert res.cluster.between(0, 15).all()
+
+
+def test_source_overlap_counts_planted_cross_source_dup(planted_dir):
+    """docs 1 (src1) and 2 (src2) are exact text dups, so sources src1
+    and src2 share all 26 of that text's distinct 5-grams."""
+    res = dedup.source_overlap(planted_dir, n=5).to_pandas()
+    row = res[(res.source_a == "src1") & (res.source_b == "src2")]
+    assert len(row) == 1 and int(row.n_shared.iloc[0]) >= 26
+    assert (res.source_a < res.source_b).all()
+
+
 def _norm(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -171,6 +190,8 @@ def test_training_ops_match_sql_oracles(planted_dir):
         "srp_dup_pairs": lambda: ann.srp_dup_pairs(planted_dir),
         "budget_sample": lambda: sampling.budget_sample(
             planted_dir, {"src0": 800, "src1": 400}, default=200),
+        "embedding_clusters": lambda: ann.embedding_clusters(planted_dir),
+        "source_overlap": lambda: dedup.source_overlap(planted_dir, n=5),
     }
     for name, fn in runs.items():
         r = _norm(fn().to_pandas())
