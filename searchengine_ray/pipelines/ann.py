@@ -512,10 +512,8 @@ def srp_dup_pairs(sf_dir: str, nbits: int = 32, bands: int = 8,
     import ray
     import ray.data as rd
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Count
 
-    from .dedup import (_collect_table, _pairs_from_group, _popcount_u64,
-                        _rows_for_ids)
+    from .dedup import _collect_table, _pairs_from_group, _popcount_u64, _rows_for_ids
 
     assert nbits % bands == 0 and nbits <= 64
     width = nbits // bands
@@ -534,79 +532,88 @@ def srp_dup_pairs(sf_dir: str, nbits: int = 32, bands: int = 8,
     sigs = ds.map_batches(
         SrpSigStage, fn_constructor_args=(nbits, dim, seed),
         batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
-    ).materialize()
+    )
 
     mask = np.uint64((1 << width) - 1)
 
     def band_rows(t: pa.Table) -> pa.Table:
         doc = t["doc_id"].to_numpy()
-        s = t["sig"].to_numpy().astype(np.uint64)
+        s = t["sig"].to_numpy()
         parts = []
         for b in range(bands):
-            seg = ((s >> np.uint64(width * b)) & mask).astype(np.int64)
+            seg = ((s.astype(np.uint64) >> np.uint64(width * b)) & mask).astype(np.int64)
             parts.append(pa.table(
                 {"band": pa.array(np.full(len(doc), b, dtype=np.int32)),
                  "band_hash": pa.array(seg),
-                 "doc_id": pa.array(doc)}
+                 "doc_id": pa.array(doc),
+                 "sig": pa.array(s, pa.int64())}
             ))
         return pa.concat_tables(parts)
 
-    cand = (
+    def ham_filter(t: pa.Table) -> pa.Table:
+        """Map-side Hamming verify: both pair members' signatures rode
+        the pair row (``size_col="sig"``), so no lookup, no shuffle."""
+        sa = t["na"].to_numpy().astype(np.uint64)
+        sb = t["nb"].to_numpy().astype(np.uint64)
+        ham = _popcount_u64(sa ^ sb)
+        keep = pa.array(ham <= max_hamming)
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].filter(keep),
+                "doc_b": t["doc_b"].filter(keep),
+                "hamming": pa.array(ham[ham <= max_hamming].astype(np.int64)),
+            }
+        )
+
+    # pair stream is map-only after the band groupby: signatures ride the
+    # rows, Hamming filters in place, and only SURVIVORS (result-sized, up
+    # to one copy per shared band) are collected and deduped — the former
+    # plan deduped the raw candidate pairs in a groupby, which at loose
+    # thresholds shuffled ~all-pairs rows
+    surv = _collect_table(
         sigs.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "band_hash"])
         .map_groups(_pairs_from_group, batch_format="pyarrow",
-                    fn_kwargs={"max_block": max_block, "salt": True})
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
-        .materialize()
+                    fn_kwargs={"max_block": max_block, "salt": True,
+                               "size_col": "sig"})
+        .map_batches(ham_filter, batch_format="pyarrow"),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("hamming", pa.int64())]),
     )
-
-    # unique() yields None (not []) on an all-empty dataset
-    needed = sorted(set(cand.unique("doc_a") or [])
-                    | set(cand.unique("doc_b") or []))
-    if not needed:
+    if surv.num_rows == 0:
         return out_schema.empty_table()
+    a = surv["doc_a"].to_numpy()
+    b = surv["doc_b"].to_numpy()
+    ham = surv["hamming"].to_numpy()
+    order = np.lexsort((b, a))
+    a, b, ham = a[order], b[order], ham[order]
+    first_row = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    a, b, ham = a[first_row], b[first_row], ham[first_row]
 
-    # candidate-sized verify state: signatures + normalized embeddings
-    sig_tbl = _rows_for_ids(sigs, needed, pa.schema(
-        [("doc_id", pa.int64()), ("sig", pa.int64())]))
+    # exact cosine on the (deduped, result-sized) survivors: embeddings
+    # fetched via the broadcast id filter, never the full table
+    needed = np.unique(np.concatenate([a, b]))
     emb_ds = ds.map_batches(
         lambda t: t.select(["vec_id", "embedding"]).rename_columns(
             ["doc_id", "embedding"]),
         batch_format="pyarrow")
-    emb_tbl = _rows_for_ids(emb_ds, needed, pa.schema(
+    emb_tbl = _rows_for_ids(emb_ds, needed.tolist(), pa.schema(
         [("doc_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]))
-    ids = sig_tbl["doc_id"].to_numpy()
-    order = np.argsort(ids)
     eids = emb_tbl["doc_id"].to_numpy()
     eorder = np.argsort(eids)
-    if not np.array_equal(ids[order], eids[eorder]):
-        raise ValueError("signature/embedding id sets diverged")
     mat = _normalize(_matrix(emb_tbl.take(pa.array(eorder, pa.int64()))))
-    lookup_ref = ray.put(
-        (ids[order], sig_tbl["sig"].to_numpy().astype(np.uint64)[order], mat)
+    ids_sorted = eids[eorder]
+    ia = np.searchsorted(ids_sorted, a)
+    ib = np.searchsorted(ids_sorted, b)
+    cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
+    return pa.table(
+        {
+            "vec_a": pa.array(a, pa.int64()),
+            "vec_b": pa.array(b, pa.int64()),
+            "hamming": pa.array(ham, pa.int64()),
+            "cos": pa.array(round_half_up(cos, 4), pa.float64()),
+        }
     )
-
-    def verify(t: pa.Table) -> pa.Table:
-        k, sv, m = ray.get(lookup_ref)
-        ia = np.searchsorted(k, t["doc_a"].to_numpy())
-        ib = np.searchsorted(k, t["doc_b"].to_numpy())
-        ham = _popcount_u64(sv[ia] ^ sv[ib])
-        keep = ham <= max_hamming
-        ia, ib = ia[keep], ib[keep]
-        cos = np.einsum("ij,ij->i", m[ia], m[ib])
-        return pa.table(
-            {
-                "vec_a": t["doc_a"].filter(pa.array(keep)),
-                "vec_b": t["doc_b"].filter(pa.array(keep)),
-                "hamming": pa.array(ham[keep].astype(np.int64)),
-                "cos": pa.array(round_half_up(cos, 4), pa.float64()),
-            }
-        )
-
-    return _collect_table(
-        cand.map_batches(verify, batch_format="pyarrow"), out_schema
-    ).sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
 
 
 def embedding_clusters(sf_dir: str, n_clusters: int = 16,
