@@ -509,7 +509,6 @@ def srp_dup_pairs(sf_dir: str, nbits: int = 32, bands: int = 8,
     ``nbits``/band width (band buckets must stay discriminative) — the
     blocking plan is unchanged.  Hot buckets (embedding mega-clusters)
     are salted, not dropped, by the shared ``_pairs_from_group``."""
-    import ray
     import ray.data as rd
     import pyarrow.parquet as pq
 
@@ -539,9 +538,10 @@ def srp_dup_pairs(sf_dir: str, nbits: int = 32, bands: int = 8,
     def band_rows(t: pa.Table) -> pa.Table:
         doc = t["doc_id"].to_numpy()
         s = t["sig"].to_numpy()
+        su = s.astype(np.uint64)
         parts = []
         for b in range(bands):
-            seg = ((s.astype(np.uint64) >> np.uint64(width * b)) & mask).astype(np.int64)
+            seg = ((su >> np.uint64(width * b)) & mask).astype(np.int64)
             parts.append(pa.table(
                 {"band": pa.array(np.full(len(doc), b, dtype=np.int32)),
                  "band_hash": pa.array(seg),
@@ -556,12 +556,13 @@ def srp_dup_pairs(sf_dir: str, nbits: int = 32, bands: int = 8,
         sa = t["na"].to_numpy().astype(np.uint64)
         sb = t["nb"].to_numpy().astype(np.uint64)
         ham = _popcount_u64(sa ^ sb)
-        keep = pa.array(ham <= max_hamming)
+        keep_np = ham <= max_hamming
+        keep = pa.array(keep_np)
         return pa.table(
             {
                 "doc_a": t["doc_a"].filter(keep),
                 "doc_b": t["doc_b"].filter(keep),
-                "hamming": pa.array(ham[ham <= max_hamming].astype(np.int64)),
+                "hamming": pa.array(ham[keep_np].astype(np.int64)),
             }
         )
 
@@ -630,9 +631,16 @@ def embedding_clusters(sf_dir: str, n_clusters: int = 16,
     k-means-lite when cell quality matters more than oracle parity.
     One broadcast of the (n_clusters × dim) matrix, one matmul per
     batch; nothing shuffles."""
+    import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
+    out_schema = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64()),
+                            ("cos", pa.float64())])
+    first = next(pq.ParquetFile(f"{sf_dir}/embeddings.parquet").iter_batches(
+        batch_size=1, columns=["vec_id"]), None)
+    if first is None:  # zero-row table: no centroids to sample
+        return rd.from_arrow(out_schema.empty_table())
     cent_n = _centroids(sf_dir, n_clusters, seed=seed, quantizer=quantizer)
     ref = ray.put(cent_n)
 

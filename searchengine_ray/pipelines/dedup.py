@@ -1202,8 +1202,8 @@ def _source_gram_rows(batch: pa.Table, n: int, n_buckets: int) -> pa.Table:
     src = batch["source"]
     if isinstance(src, pa.ChunkedArray):
         src = src.combine_chunks()
-    codes = src.dictionary_encode().indices.to_numpy(
-        zero_copy_only=False).astype(np.int64)
+    enc = src.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     sc = codes[parents]
     order = np.lexsort((sc, hashes))
     h, s = hashes[order], sc[order]
@@ -1213,8 +1213,7 @@ def _source_gram_rows(batch: pa.Table, n: int, n_buckets: int) -> pa.Table:
         {
             "bucket": pa.array((hd % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
             "gram_hash": pa.array(hd.view(np.int64), pa.int64()),
-            "source": src.dictionary_encode().dictionary.take(
-                pa.array(sd, pa.int64())),
+            "source": enc.dictionary.take(pa.array(sd, pa.int64())),
         }
     )
 

@@ -228,6 +228,8 @@ def test_empty_corpus_returns_empty_not_crash(empty_dir):
     srp's unique()-returns-None, budget/pack's schema-less empty sort
     blocks, and the empty lm vocabulary all crashed before the fix."""
     assert ann.srp_dup_pairs(empty_dir).num_rows == 0
+    assert ann.embedding_clusters(empty_dir).count() == 0
+    assert dedup.source_overlap(empty_dir).count() == 0
     assert sampling.budget_sample(empty_dir, {"src0": 10}).count() == 0
     assert sampling.pack_sequences(empty_dir).count() == 0
     assert dedup.dup_spans(empty_dir).count() == 0
