@@ -1167,7 +1167,16 @@ def dup_spans(sf_dir: str, n: int = 5, n_buckets: int = 1024):
                    Min("n_windows", alias_name="n_windows"))
     )
 
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_windows", pa.int64()),
+         ("n_dup", pa.int64()), ("dup_frac", pa.float64())]
+    )
+
     def finish(t: pa.Table) -> pa.Table:
+        # a corpus with no window anywhere reaches here as a schema-less
+        # empty block — pin the output schema so the result stays typed
+        if t.num_rows == 0 or "n_dup" not in t.schema.names:
+            return out_schema.empty_table()
         nd = t["n_dup"].to_numpy().astype(np.int64)
         nw = t["n_windows"].to_numpy().astype(np.int64)
         return pa.table(
@@ -1179,6 +1188,10 @@ def dup_spans(sf_dir: str, n: int = 5, n_buckets: int = 1024):
             }
         )
 
+    # NOTE a corpus with no window anywhere yields zero blocks, and a
+    # zero-block Dataset surfaces schema-less through to_pandas() — the
+    # driver entry (entry_ops.q_dup_spans) pins the schema by collecting
+    # through _collect_table, the q_decontaminate precedent
     return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
@@ -1267,6 +1280,17 @@ def source_overlap(sf_dir: str, n: int = 5, n_buckets: int = 1024):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    out_schema = pa.schema(
+        [("source_a", pa.string()), ("source_b", pa.string()),
+         ("n_shared", pa.int64())]
+    )
+
+    def pin(t: pa.Table) -> pa.Table:
+        # no shared gram anywhere → schema-less empty block; keep typed
+        if t.num_rows == 0 or "n_shared" not in t.schema.names:
+            return out_schema.empty_table()
+        return t.select(out_schema.names)
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "source"])
     return (
@@ -1276,4 +1300,5 @@ def source_overlap(sf_dir: str, n: int = 5, n_buckets: int = 1024):
         .map_groups(_overlap_bucket, batch_format="pyarrow")
         .groupby(["source_a", "source_b"])
         .aggregate(Sum("partial", alias_name="n_shared"))
-    )
+        .map_batches(pin, batch_format="pyarrow")
+    )  # zero-block results surface schema-less; q_source_overlap pins it

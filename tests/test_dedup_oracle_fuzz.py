@@ -82,3 +82,52 @@ def test_dedup_family_matches_sql_oracles(texts, tmp_path_factory):
                 assert np.allclose(rn[c], on[c], rtol=0, atol=1e-9), (name, c, texts)
             else:
                 assert (rn[c].values == on[c].values).all(), (name, c, texts)
+
+
+@given(texts=corpora())
+@settings(
+    max_examples=4,
+    deadline=None,
+    phases=[Phase.generate],
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+def test_round4_text_ops_match_sql_oracles(texts, tmp_path_factory):
+    """Same property for the round-4 text operators (lm_score, dup_spans,
+    source_overlap): unicode case-mapping, empties and sub-window shorts
+    must match the DuckDB twins value-exactly."""
+    from searchengine_ray.pipelines import analysis, entry_ops
+
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array([f"src{i % 3}" for i in range(n)], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("fz4")
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    sqls = ops_sql()
+    runs = {
+        "lm_score": lambda: analysis.lm_score(str(d)),
+        # the driver-entry forms: schema pinned through _collect_table
+        # even when a no-window corpus yields zero blocks
+        "dup_spans": lambda: entry_ops.q_dup_spans(str(d)),
+        "source_overlap": lambda: entry_ops.q_source_overlap(str(d)),
+    }
+    for name, fn in runs.items():
+        r = fn()
+        r = r.to_pandas()
+        o = con.execute(sqls[name]).fetchdf()
+        rn, on = _norm(r), _norm(o)
+        assert list(rn.columns) == list(on.columns), (name, rn.columns, on.columns)
+        assert len(rn) == len(on), (name, len(rn), len(on), texts)
+        for c in rn.columns:
+            if np.issubdtype(rn[c].dtype, np.number):
+                assert np.allclose(rn[c], on[c], rtol=0, atol=1e-9), (name, c, texts)
+            else:
+                assert (rn[c].values == on[c].values).all(), (name, c, texts)
