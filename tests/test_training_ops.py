@@ -249,3 +249,45 @@ def test_srp_no_band_collision_returns_empty(tmp_path):
                   "label": pa.array([0, 0], pa.int32())}),
         str(tmp_path / "embeddings.parquet"))
     assert ann.srp_dup_pairs(str(tmp_path)).num_rows == 0
+
+
+def test_srp_hot_bucket_salting_keeps_cluster_connected(tmp_path):
+    """A mega-cluster of identical embeddings over-fills every band
+    bucket; with a small max_block the bucket is salted (capped
+    sub-chunks + bridge pairs).  The pair list is intentionally partial,
+    but the cluster must stay CONNECTED and every surviving pair exact
+    (hamming 0, cos 1.0) — the size_col="sig" carrier must ride the
+    bridge pairs too."""
+    n = 120
+    v = np.linspace(0.1, 1.0, DIM).astype(np.float32)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array([list(map(float, v))] * n,
+                                        pa.list_(pa.float32())),
+                  "label": pa.array([0] * n, pa.int32())}),
+        str(tmp_path / "embeddings.parquet"))
+    res = ann.srp_dup_pairs(str(tmp_path), max_block=30).to_pandas()
+    assert (res.hamming == 0).all() and (res.cos == 1.0).all()
+    # union-find: one component over all n ids
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(res.vec_a, res.vec_b):
+        parent[find(int(a))] = find(int(b))
+    assert len({find(i) for i in range(n)}) == 1
+
+
+def test_embedding_clusters_kmeans_variant(planted_dir):
+    """quantizer="kmeans" (k-means-lite refinement) is the rows-only
+    scale variant: same schema, every vector assigned, identical
+    embeddings co-clustered."""
+    res = ann.embedding_clusters(planted_dir, quantizer="kmeans").to_pandas()
+    assert list(res.columns) == ["vec_id", "cluster", "cos"]
+    assert len(res) == 40
+    r = res.set_index("vec_id")
+    assert r.loc[1].cluster == r.loc[2].cluster
