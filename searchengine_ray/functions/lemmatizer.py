@@ -35,7 +35,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-__all__ = ["EXCEPTIONS", "lemmatize", "lemmatize_array", "sql_lemma_expr"]
+__all__ = ["EXCEPTIONS", "MEN_NOT_PLURAL", "lemmatize", "lemmatize_array",
+           "sql_lemma_expr"]
 
 # Compact irregular-form table (public WordNet exc / school-grammar
 # irregulars).  Keys and values are lowercase; the simple profile only
@@ -77,6 +78,16 @@ EXCEPTIONS: dict[str, str] = {
     "threw": "throw", "thrown": "throw", "woke": "wake", "woken": "wake",
 }
 
+# Words ending in "men" that are NOT -man compounds ("omen" is not the
+# plural of "oman"): the -men → -man rule must not fire on these.  Real
+# morphy validates candidates against the WordNet lexicon; this compact
+# deny-list covers the common Latin/Greek -men nouns instead.
+MEN_NOT_PLURAL = frozenset(
+    "omen amen ramen lumen semen specimen regimen abdomen acumen albumen "
+    "bitumen stamen hymen cyclamen foramen rumen limen numen gravamen "
+    "cognomen catechumen cerumen".split()
+)
+
 _VOWELS = "aeiou"
 
 
@@ -109,7 +120,7 @@ def lemmatize(w: str) -> str:
     # (sizes, freezes) pluralize with -s and ride the s-rule instead
     if n >= 4 and w.endswith("xes") or n >= 5 and w.endswith("zzes"):
         return w[:-2]
-    if n >= 4 and w.endswith("men"):
+    if n >= 4 and w.endswith("men") and w not in MEN_NOT_PLURAL:
         return w[:-2] + "an"
     if n >= 5 and w.endswith("ies"):
         return w[:-3] + "y"
@@ -179,12 +190,13 @@ def sql_lemma_expr(col: str) -> str:
         return f"substring({col}, 1, {n} - {k})"
 
     ing_stem, ed_stem = strip(3), strip(2)
+    men_keep = ", ".join(f"'{w}'" for w in sorted(MEN_NOT_PLURAL))
     vowel = "regexp_matches({s}, '[aeiou]')"
     return f"""CASE {exc}
  WHEN {n} >= 5 AND {ends('sses')} THEN {strip(2)}
  WHEN {n} >= 5 AND ({ends('ches')} OR {ends('shes')}) THEN {strip(2)}
  WHEN ({n} >= 4 AND {ends('xes')}) OR ({n} >= 5 AND {ends('zzes')}) THEN {strip(2)}
- WHEN {n} >= 4 AND {ends('men')} THEN {strip(2)} || 'an'
+ WHEN {n} >= 4 AND {ends('men')} AND {col} NOT IN ({men_keep}) THEN {strip(2)} || 'an'
  WHEN {n} >= 5 AND {ends('ies')} THEN {strip(3)} || 'y'
  WHEN {n} >= 5 AND {ends('ves')} THEN {strip(3)} || 'f'
  WHEN {n} >= 5 AND {ends('eed')} THEN substring({col}, 1, {n} - 1)

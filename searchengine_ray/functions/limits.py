@@ -1,0 +1,25 @@
+"""Shared size thresholds that flip operators between plan shapes.
+
+Single definition on purpose (the SAMPLE_A/SAMPLE_M precedent in
+``hashing.py``): three operators — ``build.compute_doc_weights``,
+``analysis.tfidf_keywords``, ``analysis.lm_score`` — switch from the
+vocabulary BROADCAST plan to the bucketed TERM JOIN past this cap, and
+they must flip at the same size or the engine's plan choice becomes
+operator-dependent for no reason.
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["df_broadcast_cap"]
+
+_DEFAULT_CAP = 2_000_000
+
+
+def df_broadcast_cap(explicit: int | None = None) -> int:
+    """Vocabulary-row cap for driver-side dictionary broadcasts:
+    ``explicit`` if given, else ``$GRAFT_DF_BROADCAST_CAP``, else 2M."""
+    if explicit is not None:
+        return explicit
+    return int(os.environ.get("GRAFT_DF_BROADCAST_CAP", str(_DEFAULT_CAP)))

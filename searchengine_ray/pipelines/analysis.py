@@ -329,14 +329,13 @@ def tfidf_keywords(sf_dir: str, k: int = 5, driver_cap: int | None = None):
     (doc_id, term, tf) rows shuffle once on term to pick up df, then
     once on doc_id for the top-k — document text still never moves,
     and no single process ever holds the vocabulary."""
-    import os as _os
-
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    if driver_cap is None:
-        driver_cap = int(_os.environ.get("GRAFT_DF_BROADCAST_CAP", "2000000"))
+    from ..functions.limits import df_broadcast_cap
+
+    driver_cap = df_broadcast_cap(driver_cap)
 
     out_schema = pa.schema(
         [("doc_id", pa.int64()), ("term", pa.string()),
@@ -388,7 +387,7 @@ _JOIN_BUCKET_VOCAB = 100_000  # terms per term-bucket group
 _JOIN_BUCKET_DOCS = 50_000    # docs per doc-bucket group
 
 
-def _term_value_rows(ds, carrier, value_col: str):
+def _term_value_rows(ds, carrier, value_col: str, emit_zero_docs: bool = False):
     """Union + coarse-term-bucket groupby attaching a per-term VALUE
     (df, cf, ...) from the ``carrier`` aggregate to the exploded
     (doc_id, term, tf) token rows — Ray Data's term join without
@@ -401,22 +400,39 @@ def _term_value_rows(ds, carrier, value_col: str):
     head term still lands all its rows in one bucket (inherent to any
     per-term join), where the in-bucket work stays one factorize +
     scatter.  → Dataset (doc_id, term, tf, val) of token rows only;
-    carrier rows are consumed inside their group."""
+    carrier rows are consumed inside their group.
+
+    With ``emit_zero_docs`` the tokenize pass ALSO emits one (doc_id,
+    tf=0, val=0) row per token-less document (bucket -1, passed through
+    the attach untouched) — callers that must cover every doc
+    (``lm_score``) get them without a second corpus read+tokenize."""
     from ..functions.hashing import hash_str_u64
 
     n_tbkt = max(64, int(carrier.count() // _JOIN_BUCKET_VOCAB) + 1)
 
     def tf_rows(batch: pa.Table) -> pa.Table:
-        doc_ids, terms, tf = _doc_term_rows(batch)
-        return pa.table(
+        rows, codes, tf, dictionary, n_tokens = _row_term_rows(batch)
+        doc_ids = batch["doc_id"].to_numpy()
+        terms = dictionary.take(pa.array(codes, pa.int64()))
+        out = pa.table(
             {
                 "bkt": pa.array((hash_str_u64(terms.to_numpy(zero_copy_only=False))
                                  % n_tbkt).astype(np.int32), pa.int32()),
                 "term": terms,
-                "doc_id": pa.array(doc_ids, pa.int64()),
+                "doc_id": pa.array(doc_ids[rows], pa.int64()),
                 "tf": pa.array(tf, pa.int64()),
             }
         )
+        if not emit_zero_docs:
+            return out
+        zero = np.flatnonzero(n_tokens == 0)
+        z = pa.table(
+            {"bkt": pa.array(np.full(len(zero), -1, np.int32), pa.int32()),
+             "term": pa.array([""] * len(zero), pa.string()),
+             "doc_id": pa.array(doc_ids[zero], pa.int64()),
+             "tf": pa.array(np.zeros(len(zero), np.int64), pa.int64())}
+        )
+        return pa.concat_tables([out, z])
 
     def carrier_rows(batch: pa.Table) -> pa.Table:
         # value carrier rows: doc_id = -1 marks them inside the term group
@@ -438,6 +454,15 @@ def _term_value_rows(ds, carrier, value_col: str):
         vectorized, no per-term dispatch."""
         doc = group["doc_id"].to_numpy()
         tf = group["tf"].to_numpy()
+        bkt0 = group["bkt"].to_numpy()
+        if len(bkt0) and bkt0[0] == -1:
+            # bucket -1 carries only the zero-token doc rows: pass through
+            return pa.table(
+                {"doc_id": pa.array(doc, pa.int64()),
+                 "term": group["term"],
+                 "tf": pa.array(tf, pa.int64()),
+                 "val": pa.array(np.zeros(len(doc)), pa.float64())}
+            )
         is_c = doc == -1
         terms = group["term"]
         if isinstance(terms, pa.ChunkedArray):
@@ -555,10 +580,6 @@ def _row_term_rows(batch: pa.Table):
             np.empty(0, np.int64), pa.array([], pa.string()), n_tokens)
 
 
-_LM_OUT = [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
-           ("avg_logprob", pa.float64())]
-
-
 def lm_score(sf_dir: str, driver_cap: int | None = None):
     """Unigram language-model quality score — the closed-form stand-in
     for the perplexity filter of a pretraining pipeline (no model in
@@ -576,14 +597,13 @@ def lm_score(sf_dir: str, driver_cap: int | None = None):
     document text never shuffles.  Past ``driver_cap`` vocabulary rows
     (default ``$GRAFT_DF_BROADCAST_CAP`` or 2M) the broadcast flips to
     the same bucketed TERM JOIN as ``_tfidf_keywords_join``."""
-    import os as _os
-
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    if driver_cap is None:
-        driver_cap = int(_os.environ.get("GRAFT_DF_BROADCAST_CAP", "2000000"))
+    from ..functions.limits import df_broadcast_cap
+
+    driver_cap = df_broadcast_cap(driver_cap)
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     cf_agg = (
@@ -628,14 +648,19 @@ def lm_score(sf_dir: str, driver_cap: int | None = None):
 def _lm_score_join(ds, cf_agg, total: int):
     """Vocabulary-too-big-to-broadcast path of ``lm_score``: the shared
     ``_term_value_rows`` term join attaches cf to the token rows,
-    per-doc partials reduce with a native Sum, and token-less docs
-    bypass the join as direct zero rows."""
+    per-doc partials reduce with a native Sum; token-less docs ride the
+    SAME tokenize pass as zero rows (``emit_zero_docs``) — no second
+    corpus read."""
     from ray.data.aggregate import Sum
 
     def partials(t: pa.Table) -> pa.Table:
         doc = t["doc_id"].to_numpy()
         tf = t["tf"].to_numpy().astype(np.float64)
-        lp = tf * np.log10(t["val"].to_numpy() / total)
+        val = t["val"].to_numpy()
+        # zero-doc carrier rows have tf=0, val=0 — no log on those
+        lp = np.zeros(len(tf))
+        pos = tf > 0
+        lp[pos] = tf[pos] * np.log10(val[pos] / total)
         uniq, inv = np.unique(doc, return_inverse=True)
         return pa.table(
             {
@@ -643,17 +668,6 @@ def _lm_score_join(ds, cf_agg, total: int):
                 "lp_part": pa.array(np.bincount(inv, weights=lp), pa.float64()),
                 "tok_part": pa.array(
                     np.bincount(inv, weights=tf).astype(np.int64), pa.int64()),
-            }
-        )
-
-    def zero_rows(batch: pa.Table) -> pa.Table:
-        zero = np.flatnonzero(row_token_counts(batch) == 0)
-        ids = batch["doc_id"].to_numpy()[zero]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "lp_part": pa.array(np.zeros(len(ids)), pa.float64()),
-                "tok_part": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
             }
         )
 
@@ -669,11 +683,10 @@ def _lm_score_join(ds, cf_agg, total: int):
             }
         )
 
-    joined = _term_value_rows(ds, cf_agg, "cf").map_batches(
+    joined = _term_value_rows(ds, cf_agg, "cf", emit_zero_docs=True).map_batches(
         partials, batch_format="pyarrow")
-    zeros = ds.map_batches(zero_rows, batch_format="pyarrow")
     return (
-        joined.union(zeros)
+        joined
         .groupby("doc_id")
         .aggregate(Sum("lp_part", alias_name="lp_part"),
                    Sum("tok_part", alias_name="tok_part"))

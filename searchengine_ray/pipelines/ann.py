@@ -515,6 +515,14 @@ def srp_dup_pairs(sf_dir: str, nbits: int = 32, bands: int = 8,
     from .dedup import _collect_table, _pairs_from_group, _popcount_u64, _rows_for_ids
 
     assert nbits % bands == 0 and nbits <= 64
+    if max_hamming >= bands:
+        # the completeness contract ("EVERY pair within max_hamming")
+        # rests on the pigeonhole argument — enforce it rather than
+        # silently dropping qualifying pairs
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands} makes the banding "
+            "lossy; raise bands (or nbits) so max_hamming < bands"
+        )
     width = nbits // bands
     out_schema = pa.schema(
         [("vec_a", pa.int64()), ("vec_b", pa.int64()),

@@ -746,8 +746,9 @@ def compute_doc_weights(index_dir: str, driver_cap: int | None = None) -> str:
         n_docs = json.load(f)["n_docs"]
     import ray
 
-    if driver_cap is None:
-        driver_cap = int(os.environ.get("GRAFT_DF_BROADCAST_CAP", "2000000"))
+    from ..functions.limits import df_broadcast_cap
+
+    driver_cap = df_broadcast_cap(driver_cap)
     dict_dir = os.path.join(index_dir, "dictionary")
     use_join = pads.dataset(dict_dir).count_rows() > driver_cap
     if use_join:

@@ -1135,6 +1135,12 @@ def _span_mark_bucket(group: pa.Table) -> pa.Table:
     )
 
 
+DUP_SPANS_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_windows", pa.int64()),
+     ("n_dup", pa.int64()), ("dup_frac", pa.float64())]
+)
+
+
 def dup_spans(sf_dir: str, n: int = 5, n_buckets: int = 1024):
     """Duplicate-passage detection (the window approximation of
     substring training-data dedup, Lee et al. 2022 "Deduplicating
@@ -1167,10 +1173,7 @@ def dup_spans(sf_dir: str, n: int = 5, n_buckets: int = 1024):
                    Min("n_windows", alias_name="n_windows"))
     )
 
-    out_schema = pa.schema(
-        [("doc_id", pa.int64()), ("n_windows", pa.int64()),
-         ("n_dup", pa.int64()), ("dup_frac", pa.float64())]
-    )
+    out_schema = DUP_SPANS_SCHEMA
 
     def finish(t: pa.Table) -> pa.Table:
         # a corpus with no window anywhere reaches here as a schema-less
@@ -1267,6 +1270,12 @@ def _overlap_bucket(group: pa.Table) -> pa.Table:
     )
 
 
+SOURCE_OVERLAP_SCHEMA = pa.schema(
+    [("source_a", pa.string()), ("source_b", pa.string()),
+     ("n_shared", pa.int64())]
+)
+
+
 def source_overlap(sf_dir: str, n: int = 5, n_buckets: int = 1024):
     """Cross-source contamination matrix: for every source pair, how
     many DISTINCT word-``n``-grams the two sources share.  → (source_a,
@@ -1280,10 +1289,7 @@ def source_overlap(sf_dir: str, n: int = 5, n_buckets: int = 1024):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    out_schema = pa.schema(
-        [("source_a", pa.string()), ("source_b", pa.string()),
-         ("n_shared", pa.int64())]
-    )
+    out_schema = SOURCE_OVERLAP_SCHEMA
 
     def pin(t: pa.Table) -> pa.Table:
         # no shared gram anywhere → schema-less empty block; keep typed

@@ -179,26 +179,19 @@ def q_embedding_clusters(sf_dir: str):
 
 
 def q_dup_spans(sf_dir: str):
-    from .dedup import _collect_table
+    from .dedup import DUP_SPANS_SCHEMA, _collect_table
 
     # explicit schema: a corpus with no 5-gram window anywhere yields a
     # zero-block Dataset that would otherwise lose its schema through
     # to_pandas() (the q_decontaminate precedent)
-    return _collect_table(
-        dedup.dup_spans(sf_dir, n=5),
-        pa.schema([("doc_id", pa.int64()), ("n_windows", pa.int64()),
-                   ("n_dup", pa.int64()), ("dup_frac", pa.float64())]),
-    )
+    return _collect_table(dedup.dup_spans(sf_dir, n=5), DUP_SPANS_SCHEMA)
 
 
 def q_source_overlap(sf_dir: str):
-    from .dedup import _collect_table
+    from .dedup import SOURCE_OVERLAP_SCHEMA, _collect_table
 
     return _collect_table(
-        dedup.source_overlap(sf_dir, n=5),
-        pa.schema([("source_a", pa.string()), ("source_b", pa.string()),
-                   ("n_shared", pa.int64())]),
-    )
+        dedup.source_overlap(sf_dir, n=5), SOURCE_OVERLAP_SCHEMA)
 
 
 def q_budget_sample(sf_dir: str):

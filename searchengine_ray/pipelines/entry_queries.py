@@ -22,7 +22,7 @@ from ..sources.transcripts import transcripts_from_documents
 from .build import build_index, compute_doc_weights
 from .search import QueryEngine
 
-CACHE_VERSION = "v8"  # v8: adaptive chunk_docs default (corpus-sized block-max chunks)
+CACHE_VERSION = "v9"  # v9: lemmatizer -men deny-list (lemma-profile tokens changed)
 _CACHE_ROOT = f"/tmp/searchengine_ray_cache_{CACHE_VERSION}"
 _ENGINES: dict[tuple, QueryEngine] = {}
 

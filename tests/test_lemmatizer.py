@@ -129,3 +129,15 @@ def test_simple_lemma_index_and_search(tmp_path):
     res_base = eng.search(base, k=5)
     if lemmatize(base + "s") == base:
         assert res_plural.equals(res_base)
+
+
+def test_men_rule_spares_non_compound_nouns():
+    """Review regression: the -men → -man rule must fire on -man
+    compounds only — Latin/Greek -men nouns must not be rewritten into
+    different real words ('omen' is not the plural of 'oman')."""
+    for w in ("omen", "amen", "ramen", "lumen", "specimen", "regimen",
+              "abdomen", "acumen", "stamen"):
+        assert lemmatize(w) == w, w
+    for w, want in [("salesmen", "salesman"), ("workmen", "workman"),
+                    ("firemen", "fireman"), ("policemen", "policeman")]:
+        assert lemmatize(w) == want, w

@@ -291,3 +291,10 @@ def test_embedding_clusters_kmeans_variant(planted_dir):
     assert len(res) == 40
     r = res.set_index("vec_id")
     assert r.loc[1].cluster == r.loc[2].cluster
+
+
+def test_srp_rejects_lossy_banding(planted_dir):
+    """max_hamming >= bands breaks the pigeonhole completeness contract
+    — the function must refuse rather than silently drop pairs."""
+    with pytest.raises(ValueError, match="lossy"):
+        ann.srp_dup_pairs(planted_dir, nbits=32, bands=8, max_hamming=8)
