@@ -736,6 +736,56 @@ def ops_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END)::BIGINT AS n_sessions
             FROM o GROUP BY user_id
         """,
+        # As-of join twin of joins.asof_prior_event: most recent 'click'
+        # at-or-before each 'purchase' per user, inner semantics.  The
+        # window-function form (rather than DuckDB's ASOF JOIN) pins the
+        # tie rule explicitly: at equal ts rights scan before lefts, and
+        # among equal-ts rights the max event_id wins.
+        "asof_join": """
+            WITH e AS (
+                SELECT event_id, user_id, ts, value, event_type
+                FROM events WHERE event_type IN ('purchase', 'click')
+            ), s AS (
+                SELECT *,
+                    (event_type = 'purchase') AS is_l,
+                    last_value(CASE WHEN event_type = 'click'
+                                    THEN event_id END IGNORE NULLS)
+                        OVER w AS prior_event_id,
+                    last_value(CASE WHEN event_type = 'click'
+                                    THEN epoch_us(ts) END IGNORE NULLS)
+                        OVER w AS prior_ts_us,
+                    last_value(CASE WHEN event_type = 'click'
+                                    THEN value END IGNORE NULLS)
+                        OVER w AS prior_value
+                FROM e
+                WINDOW w AS (
+                    PARTITION BY user_id
+                    ORDER BY ts, (event_type = 'purchase'), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id, value, prior_event_id,
+                   (epoch_us(ts) - prior_ts_us)::BIGINT AS prior_gap_us,
+                   prior_value
+            FROM s WHERE is_l AND prior_event_id IS NOT NULL
+        """,
+        # Range-join twin of joins.follow_window_stats: count + 4dp value
+        # sum of 'click's in (l.ts, l.ts + 7d] per 'purchase'; integer-µs
+        # comparisons so interval semantics can't drift between engines.
+        "range_join": f"""
+            WITH l AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'purchase'),
+            r AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, value
+                FROM events WHERE event_type = 'click')
+            SELECT l.event_id, l.user_id,
+                   count(r.ts_us)::BIGINT AS n_follow,
+                   {r4('coalesce(sum(r.value), 0)', 4)} AS follow_value
+            FROM l LEFT JOIN r ON l.user_id = r.user_id
+                AND r.ts_us > l.ts_us
+                AND r.ts_us <= l.ts_us + {7 * 86_400_000_000}
+            GROUP BY l.event_id, l.user_id
+        """,
         # ---- multimodal -------------------------------------------------
         "multimodal_meta": """
             WITH m AS (

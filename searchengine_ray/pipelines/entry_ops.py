@@ -210,6 +210,23 @@ def q_redact_pii(sf_dir: str):
     return curation.redact_pii(sf_dir)
 
 
+def q_asof_join(sf_dir: str):
+    # collected through _collect_table so an input with no left/right
+    # events still reports the typed schema (the q_dup_spans precedent —
+    # the driver compare materializes the result regardless)
+    from . import joins
+    from .dedup import _collect_table
+
+    return _collect_table(joins.asof_prior_event(sf_dir), joins.ASOF_SCHEMA)
+
+
+def q_range_join(sf_dir: str):
+    from . import joins
+    from .dedup import _collect_table
+
+    return _collect_table(joins.follow_window_stats(sf_dir), joins.FOLLOW_SCHEMA)
+
+
 OPS_QUERIES = {
     "token_count_by_source": q_token_count_by_source,
     "quality_scores": q_quality_scores,
@@ -244,4 +261,6 @@ OPS_QUERIES = {
     "conversation_text": q_conversation_text,
     "events_windowed": q_events_windowed,
     "user_sessions": q_user_sessions,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }
