@@ -172,22 +172,33 @@ def _summary_partial(batch: pa.Table) -> pa.Table:
 
 
 def _carries_for_user(g: pa.Table) -> pa.Table:
-    """Per-user prefix scan over bucket summaries → carry rows.
+    """Per-user bucket merge + prefix scan over summary PARTIALS → carries.
 
-    For each bucket that contains a left event, emit (as a synthetic
-    RIGHT row in the tagged-event schema) the last right event from any
-    STRICTLY EARLIER bucket; rights inside the bucket itself ride the
-    main groupby.  Input is one user's summary rows — O(active buckets),
-    not O(events).
+    Input is one user's per-batch partial rows (possibly several per
+    bucket) — O(active buckets × batches touched), never O(events).
+    First merge partials per bucket (max (r_ts, r_eid) right wins; the
+    -1 sentinel sorts below every real right), then, for each bucket
+    containing a left event, emit the last right event from any STRICTLY
+    EARLIER bucket as a synthetic RIGHT row in the tagged-event schema;
+    rights inside the bucket itself ride the main groupby.  Doing both
+    here keeps the as-of plan at two shuffles total (this metadata
+    groupby + the full-data (user, bucket) groupby).
     """
     if g.num_rows == 0 or "bucket" not in g.schema.names:
         return _TAGGED.empty_table()
-    order = np.argsort(g["bucket"].to_numpy(), kind="stable")
-    bkt = g["bucket"].to_numpy()[order]
-    has_left = g["has_left"].to_numpy()[order]
-    r_ts = g["r_ts"].to_numpy()[order]
-    r_eid = g["r_eid"].to_numpy()[order]
-    r_val = g["r_value"].to_numpy()[order]
+    order = np.lexsort(
+        (g["r_eid"].to_numpy(), g["r_ts"].to_numpy(), g["bucket"].to_numpy())
+    )
+    bkt_all = g["bucket"].to_numpy()[order]
+    # per-bucket segment ends: the last row holds the max (r_ts, r_eid)
+    last = np.r_[bkt_all[1:] != bkt_all[:-1], True]
+    seg_starts = np.r_[0, np.flatnonzero(last[:-1]) + 1]
+    hl_all = g["has_left"].to_numpy()[order]
+    has_left = np.maximum.reduceat(hl_all, seg_starts)
+    bkt = bkt_all[last]
+    r_ts = g["r_ts"].to_numpy()[order][last]
+    r_eid = g["r_eid"].to_numpy()[order][last]
+    r_val = g["r_value"].to_numpy()[order][last]
     # running "last right seen in buckets <= i" (exclusive for the carry)
     has_r = r_ts >= 0
     idx = np.where(has_r, np.arange(len(bkt)), -1)
@@ -271,13 +282,10 @@ def asof_prior_event(
             "bucket_us": bucket_us,
         },
     )
-    summaries = (
+    carries = (
         tagged.map_batches(_summary_partial, batch_format="pyarrow")
-        .groupby(["user_id", "bucket"])
-        .map_groups(_summary_merge, batch_format="pyarrow")
-    )
-    carries = summaries.groupby("user_id").map_groups(
-        _carries_for_user, batch_format="pyarrow"
+        .groupby("user_id")
+        .map_groups(_carries_for_user, batch_format="pyarrow")
     )
     # NOTE an input with no left/right events at all yields a zero-block
     # Dataset whose schema vanishes through to_pandas() (Ray's sort emits
@@ -288,26 +296,6 @@ def asof_prior_event(
         tagged.union(carries)
         .groupby(["user_id", "bucket"])
         .map_groups(_asof_group, batch_format="pyarrow")
-    )
-
-
-def _summary_merge(g: pa.Table) -> pa.Table:
-    """Merge one (user, bucket)'s per-batch partials into a single row."""
-    if g.num_rows == 0 or "r_ts" not in g.schema.names:
-        return _SUMMARY.empty_table()
-    r_ts = g["r_ts"].to_numpy()
-    r_eid = g["r_eid"].to_numpy()
-    # winner: max (r_ts, r_eid) among rows that saw a right
-    best = int(np.lexsort((r_eid, r_ts))[-1])
-    return pa.table(
-        {
-            "user_id": g["user_id"].slice(0, 1),
-            "bucket": g["bucket"].slice(0, 1),
-            "has_left": pa.array([int(g["has_left"].to_numpy().max())], pa.int8()),
-            "r_ts": g["r_ts"].slice(best, 1),
-            "r_eid": g["r_eid"].slice(best, 1),
-            "r_value": g["r_value"].slice(best, 1),
-        }
     )
 
 

@@ -163,6 +163,43 @@ def test_range_join_matches_brute_force(ray_session, tmp_path):
     assert any(n > 0 for n, _ in want.values())
 
 
+def test_carries_merge_partials_across_batches():
+    """Pure-function property: _carries_for_user must merge SEVERAL
+    partial rows per bucket (a bucket split across read batches) exactly
+    as if the bucket had arrived whole — max (r_ts, r_eid) right wins,
+    left presence ORs, and the -1 no-right sentinel never beats a real
+    right."""
+    from searchengine_ray.pipelines.joins import _carries_for_user, _summary_partial
+
+    rng = np.random.default_rng(3)
+    n = 400
+    tagged = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "ts_us": pa.array(rng.integers(0, 10_000, n).astype(np.int64)),
+            "value": pa.array(rng.random(n)),
+            "bucket": pa.array(rng.integers(0, 6, n).astype(np.int64)),
+            "side": pa.array(rng.integers(0, 2, n).astype(np.int8)),
+        }
+    )
+    whole = _carries_for_user(_summary_partial(tagged))
+    for n_chunks in (3, 17):
+        bounds = np.linspace(0, n, n_chunks + 1).astype(int)
+        parts = pa.concat_tables(
+            [
+                _summary_partial(tagged.slice(a, b - a))
+                for a, b in zip(bounds[:-1], bounds[1:])
+                if b > a
+            ]
+        )
+        split = _carries_for_user(parts)
+        assert split.sort_by("bucket").to_pydict() == whole.sort_by(
+            "bucket"
+        ).to_pydict(), n_chunks
+    assert whole.num_rows > 0
+
+
 def test_joins_empty_when_types_absent(ray_session, tmp_path):
     tbl = pa.table(
         {
