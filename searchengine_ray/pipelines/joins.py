@@ -34,6 +34,13 @@ The reference has no event stream; these extend its windowed-aggregate
 surface (`Part C` has only whole-corpus passes) to the stream shapes a
 training-data pipeline needs, alongside events.py's tumbling windows and
 chunked sessionization.
+
+Assumptions: timestamps are non-negative epoch-µs (the -1 no-right
+sentinel in bucket summaries relies on it).  In the as-of plan the
+tagged scan feeds both the carry branch and the main union, so the
+pruned events read executes TWICE — two streaming passes over a
+column-pruned, type-filtered read, chosen over materializing the
+filtered stream mid-pipeline.
 """
 
 from __future__ import annotations
