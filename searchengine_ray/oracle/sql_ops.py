@@ -34,9 +34,10 @@ _IVF_SQL = """
     WITH cent AS (
         SELECT CAST(embedding AS DOUBLE[]) AS ce,
                row_number() OVER (
-                   ORDER BY (vec_id * 2654435761 + 99) % 4294967296) - 1 AS cnum
+                   ORDER BY (vec_id::HUGEINT * 2654435761 + 99) % 4294967296,
+                            vec_id) - 1 AS cnum
         FROM embeddings
-        ORDER BY (vec_id * 2654435761 + 99) % 4294967296
+        ORDER BY (vec_id::HUGEINT * 2654435761 + 99) % 4294967296, vec_id
         LIMIT 16),
     q AS (
         SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
@@ -667,14 +668,18 @@ def ops_sql() -> dict[str, str]:
         """,
         "srp_dup_pairs": _srp_sql(),
         # SemDeDup-style cluster assignment: same medoid quantizer and
-        # floor(cos·1e6+0.5)/lowest-cnum keys as the IVF twin above
+        # floor(cos·1e6+0.5)/lowest-cnum keys as the IVF twin above.
+        # HUGEINT cast (BIGINT overflows at vec_id ≥ ~3.4e9) + vec_id
+        # tie-break (keys can collide past 2^32) match the engine's
+        # lexsort((ids, key)) — the _srp_sql/budget_sample discipline.
         "embedding_clusters": f"""
             WITH cent AS (
                 SELECT CAST(embedding AS DOUBLE[]) AS ce,
                        row_number() OVER (
-                           ORDER BY (vec_id * 2654435761 + 99) % 4294967296) - 1 AS cnum
+                           ORDER BY (vec_id::HUGEINT * 2654435761 + 99)
+                                    % 4294967296, vec_id) - 1 AS cnum
                 FROM embeddings
-                ORDER BY (vec_id * 2654435761 + 99) % 4294967296
+                ORDER BY (vec_id::HUGEINT * 2654435761 + 99) % 4294967296, vec_id
                 LIMIT 16)
             SELECT e.vec_id, cnum::BIGINT AS cluster,
                    {r4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ce)", 4)} AS cos

@@ -87,11 +87,15 @@ def dedup_exact(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def _pairs_from_group(group: pa.Table, max_block: int = 200,
-                      size_col: str | None = None, salt: bool = False) -> pa.Table:
+                      size_col: str | None = None, salt: bool = False,
+                      mark_salted: bool = False) -> pa.Table:
     """All ordered pairs within one blocking group (doc-id sorted).
 
     With ``size_col``, each pair row also carries both docs' set sizes
     (``na``/``nb``) so downstream similarity needs no side lookup.
+    With ``mark_salted``, each pair row carries a ``salted`` bool —
+    True for every pair emitted by an over-cap group — so callers can
+    surface a structured completeness flag instead of a log line.
 
     Groups larger than ``max_block`` are hot blocks.  For
     non-discriminative blocking keys (stop-ngrams) they are DROPPED
@@ -113,17 +117,21 @@ def _pairs_from_group(group: pa.Table, max_block: int = 200,
     if size_col is not None:
         cols["na"] = pa.array([], pa.int64())
         cols["nb"] = pa.array([], pa.int64())
+    if mark_salted:
+        cols["salted"] = pa.array([], pa.bool_())
     if n < 2:
         return pa.table(cols)
     order = np.argsort(group["doc_id"].to_numpy())
     ids = group["doc_id"].to_numpy()[order]
     sz = group[size_col].to_numpy()[order] if size_col is not None else None
+    was_salted = False
     if n <= max_block:
         a, b = np.triu_indices(n, k=1)
     elif not salt:
         logger.warning("dedup: dropping hot block of %d docs (max_block=%d)", n, max_block)
         return pa.table(cols)
     else:
+        was_salted = True
         n_sub = -(-n // max_block)  # ceil
         logger.warning(
             "dedup: salting hot block of %d docs into %d sub-chunks (max_block=%d)",
@@ -145,6 +153,8 @@ def _pairs_from_group(group: pa.Table, max_block: int = 200,
     if size_col is not None:
         cols["na"] = pa.array(sz[a], pa.int64())
         cols["nb"] = pa.array(sz[b], pa.int64())
+    if mark_salted:
+        cols["salted"] = pa.array(np.full(len(a), was_salted))
     return pa.table(cols)
 
 

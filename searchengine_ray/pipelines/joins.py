@@ -20,15 +20,19 @@ groupby().map_groups), with the partitioning assumption made explicit:
   (l.ts, l.ts + W].  The textbook distributed range join: each right row
   is replicated into its own bucket and the previous one (bucket width
   == W, so two copies suffice), then one groupby(user, bucket) joins
-  locally via sorted searchsorted + prefix sums.  Right-side memory is
-  exactly 2x, group size is again per-user per-bucket.
+  locally via sorted searchsorted + per-window reduceat sums.
+  Right-side memory is exactly 2x, group size is again per-user
+  per-bucket.
 
 Tie semantics (pinned by the oracle and tests): a right at the same
 timestamp as a left counts as "prior"; among rights sharing a timestamp
 the one with the largest event_id wins — i.e. the scan order
-(ts, side=right-first, event_id).  Sums are rounded with the shared
-half-up rule (functions/rounding.py) so cross-engine summation-order
-ulps cannot flip the compare.
+(ts, side=right-first, event_id).  Window sums are computed member by
+member over the sorted rights (np.add.reduceat — the same association
+order the SQL oracle uses) and rounded with the shared half-up rule
+(functions/rounding.py); identical operand order + identical rounding
+keeps the compare stable.  Timestamps are asserted non-negative in
+_tag (the -1 no-right sentinel depends on it).
 
 The reference has no event stream; these extend its windowed-aggregate
 surface (`Part C` has only whole-corpus passes) to the stream shapes a
@@ -36,7 +40,8 @@ training-data pipeline needs, alongside events.py's tumbling windows and
 chunked sessionization.
 
 Assumptions: timestamps are non-negative epoch-µs (the -1 no-right
-sentinel in bucket summaries relies on it).  In the as-of plan the
+sentinel in bucket summaries relies on it; _tag enforces it with a
+vectorized check so a bad generator fails loudly).  In the as-of plan the
 tagged scan feeds both the carry branch and the main union, so the
 pruned events read executes TWICE — two streaming passes over a
 column-pruned, type-filtered read, chosen over materializing the
@@ -116,6 +121,14 @@ def _tag(batch: pa.Table, left_type: str, right_type: str, bucket_us: int) -> pa
     if not keep.any():
         return _TAGGED.empty_table()
     ts_us = batch["ts"].cast(pa.int64()).to_numpy()[keep]
+    if len(ts_us) and ts_us.min() < 0:
+        # the -1 no-right sentinel in bucket summaries relies on
+        # non-negative epoch-µs timestamps; fail loudly instead of
+        # silently treating a real prior right as "no right"
+        raise ValueError(
+            "temporal joins require non-negative epoch-us timestamps; "
+            f"saw ts_us={int(ts_us.min())}"
+        )
     return pa.table(
         {
             "event_id": pa.array(batch["event_id"].to_numpy()[keep], pa.int64()),
@@ -338,10 +351,22 @@ def _follow_group(g: pa.Table, window_us: int) -> pa.Table:
     val = g["value"].to_numpy()
     r_order = np.lexsort((eid[~lmask], ts[~lmask]))
     r_ts = ts[~lmask][r_order]
-    cs = np.r_[0.0, np.cumsum(val[~lmask][r_order])]
+    r_val = val[~lmask][r_order]
     l_ts, l_eid = ts[lmask], eid[lmask]
     lo = np.searchsorted(r_ts, l_ts, side="right")
     hi = np.searchsorted(r_ts, l_ts + window_us, side="right")
+    # per-window sums via np.add.reduceat over the sorted rights — the
+    # same member-by-member summation the SQL oracle does, so no
+    # prefix-sum cancellation can nudge a value across a 4dp rounding
+    # boundary.  Interleaved [lo, hi) bounds; even slots are the window
+    # sums (lo < hi guaranteed by the nz filter), odd slots discarded.
+    # The 0.0 sentinel keeps hi == len(r_val) a valid reduceat index
+    # without ever being summed (bounds are exclusive on the right).
+    fv = np.zeros(len(l_ts), np.float64)
+    nz = np.flatnonzero(hi > lo)
+    if len(nz):
+        bounds = np.stack([lo[nz], hi[nz]], axis=1).ravel()
+        fv[nz] = np.add.reduceat(np.r_[r_val, 0.0], bounds)[::2]
     return pa.table(
         {
             "event_id": pa.array(l_eid, pa.int64()),
@@ -349,7 +374,7 @@ def _follow_group(g: pa.Table, window_us: int) -> pa.Table:
                 np.full(int(lmask.sum()), g["user_id"][0].as_py(), dtype=np.int64)
             ),
             "n_follow": pa.array((hi - lo).astype(np.int64)),
-            "follow_value": pa.array(round_half_up(cs[hi] - cs[lo], 4)),
+            "follow_value": pa.array(round_half_up(fv, 4)),
         }
     )
 

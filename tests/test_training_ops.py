@@ -298,3 +298,60 @@ def test_srp_rejects_lossy_banding(planted_dir):
     — the function must refuse rather than silently drop pairs."""
     with pytest.raises(ValueError, match="lossy"):
         ann.srp_dup_pairs(planted_dir, nbits=32, bands=8, max_hamming=8)
+
+
+def test_srp_return_stats_reports_salting(tmp_path, planted_dir):
+    """return_stats=True surfaces the completeness flag (round-4 ADVICE):
+    a capped band bucket → salted=True (partial pair list); an uncapped
+    run → salted=False and a table identical to the plain call."""
+    n = 120
+    v = np.linspace(0.1, 1.0, DIM).astype(np.float32)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array([list(map(float, v))] * n,
+                                        pa.list_(pa.float32())),
+                  "label": pa.array([0] * n, pa.int32())}),
+        str(tmp_path / "embeddings.parquet"))
+    capped, stats = ann.srp_dup_pairs(str(tmp_path), max_block=30,
+                                      return_stats=True)
+    assert stats == {"salted": True}
+    # marker rows must not leak: every returned pair is a real survivor
+    assert (capped["hamming"].to_numpy() <= 7).all()
+    full, stats2 = ann.srp_dup_pairs(planted_dir, return_stats=True)
+    assert stats2 == {"salted": False}
+    assert full.equals(ann.srp_dup_pairs(planted_dir))
+
+
+def test_embedding_dup_pairs_pushes_id_predicate(planted_dir, monkeypatch):
+    """The vec_id < max_id cap must be pushed into the parquet read —
+    never a full-table driver materialization (round-4 VERDICT "What's
+    wrong" #1).  Spies on pq.read_table and asserts the broadcast-side
+    read carries the filters= predicate; values checked against a naive
+    in-memory all-pairs reference."""
+    import pyarrow.parquet as _pq
+
+    calls = []
+    orig = _pq.read_table
+
+    def spy(path, *a, **kw):
+        t = orig(path, *a, **kw)
+        calls.append((str(path), kw.get("filters"), t.num_rows))
+        return t
+
+    monkeypatch.setattr(_pq, "read_table", spy)
+    res = ann.embedding_dup_pairs(planted_dir, max_id=10, threshold=0.2)
+    emb_calls = [c for c in calls if "embeddings" in c[0]]
+    assert emb_calls, "broadcast side must come from pq.read_table"
+    for _, filters, nrows in emb_calls:
+        assert filters is not None, "driver read missing the id predicate"
+        assert nrows <= 10
+    # naive reference over the capped range
+    t = orig(f"{planted_dir}/embeddings.parquet",
+             columns=["vec_id", "embedding"])
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)[:10]
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    want = sorted((a, b) for a in range(10) for b in range(a + 1, 10)
+                  if cos[a, b] >= 0.2)
+    got = sorted(zip(res["vec_a"].to_pylist(), res["vec_b"].to_pylist()))
+    assert got == want
