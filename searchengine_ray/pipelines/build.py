@@ -525,14 +525,21 @@ def build_index(
     # task streams its own files only (shard count scales with corpus)
     # and would roll over to size-bounded sorted files.
     if not manifest.stage_done("dictionary"):
-        from ..state.index_store import COMPACT_ROW_GROUP
+        from ..state.index_store import COMPACT_ROW_GROUP, DICT_SCHEMA, dict_shard_path
 
         postings_root = os.path.join(index_dir, "postings")
+        dict_dir = os.path.join(index_dir, "dictionary")
 
         def compact_shard_task(batch: pa.Table) -> pa.Table:
+            """Compact one posting shard AND write its dictionary slice
+            as ``dictionary/sNNNNN.parquet`` — one file per crc32 term
+            shard, so query-time readers can load exactly the shards
+            their terms hash to (lazy + memoized per serving actor, the
+            10^12-turn design point named by round-2 BASELINE).  Output
+            rows are metadata-sized (shard, n_terms) markers."""
             import pyarrow.compute as _pc
 
-            outs = []
+            shards_done, terms_done = [], []
             for shard in batch["shard"].to_pylist():
                 sdir = os.path.join(postings_root, f"shard={shard}")
                 cpath = os.path.join(sdir, "compact.parquet")
@@ -567,32 +574,37 @@ def build_index(
                 g = tbl.group_by("term").aggregate(
                     [("df_chunk", "sum"), ("cf_chunk", "sum")]
                 )
-                outs.append(pa.table({
+                slice_tbl = pa.table({
                     "term": g["term"],
-                    "df": g["df_chunk_sum"],
-                    "cf": g["cf_chunk_sum"],
+                    "df": g["df_chunk_sum"].cast(pa.int64()),
+                    "cf": g["cf_chunk_sum"].cast(pa.int64()),
                     "shard": pa.array(
                         np.full(g.num_rows, shard, np.int32), pa.int32()
                     ),
-                }))
-            if not outs:
-                return pa.table({
-                    "term": pa.array([], pa.string()),
-                    "df": pa.array([], pa.int64()),
-                    "cf": pa.array([], pa.int64()),
-                    "shard": pa.array([], pa.int32()),
                 })
-            return pa.concat_tables(outs)
+                dpath = dict_shard_path(dict_dir, shard)
+                pq.write_table(slice_tbl, dpath + ".tmp")
+                os.replace(dpath + ".tmp", dpath)  # same atomicity as compact
+                shards_done.append(shard)
+                terms_done.append(g.num_rows)
+            return pa.table({
+                "shard": pa.array(shards_done, pa.int64()),
+                "n_terms": pa.array(terms_done, pa.int64()),
+            })
 
-        dict_dir = os.path.join(index_dir, "dictionary")
         shutil.rmtree(dict_dir, ignore_errors=True)
-        (
+        os.makedirs(dict_dir, exist_ok=True)
+        written = (
             rd.from_items([{"shard": s} for s in range(n_shards)])
             .map_batches(compact_shard_task, batch_size=1, batch_format="pyarrow",
                          num_cpus=1,
                          **({"concurrency": concurrency} if concurrency else {}))
-            .write_parquet(dict_dir)
+            .count()  # metadata-sized marker rows drive execution
         )
+        if written == 0:
+            # degenerate empty corpus: keep the dir a readable dataset
+            pq.write_table(DICT_SCHEMA.empty_table(),
+                           dict_shard_path(dict_dir, 0))
         manifest.mark_stage("dictionary")
     _mark("dictionary")
 

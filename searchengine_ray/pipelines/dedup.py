@@ -1009,7 +1009,7 @@ def _cc_distributed(pairs: pa.Table, max_rounds: int = 64) -> tuple[np.ndarray, 
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.8, shingle: int = 3,
                    bands: int = 32, max_block: int = 10**6,
-                   distributed: bool = False):
+                   distributed: bool | None = None):
     """→ (doc_id, cluster_id, cluster_size, keep) for EVERY document:
     connected components of the verified near-dup graph, edges =
     ``minhash_verified_pairs`` (exact word-``shingle``-gram Jaccard ≥
@@ -1019,16 +1019,17 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, shingle: int = 3,
     the standard "drop near-duplicates, keep one per cluster" step.
 
     Distribution: the edge list comes from the fully distributed
-    LSH+verify pipeline and is candidate-sized by construction.  By
-    default the components are solved with a driver-side union-find
-    over PAIRS ONLY (O(edges) memory, never O(docs)); with
-    ``distributed=True`` the same labels come from the hash-to-min
-    label-propagation loop run as Ray Data groupbys
+    LSH+verify pipeline and is candidate-sized by construction.  Small
+    edge sets are solved with a driver-side union-find over PAIRS ONLY
+    (O(edges) memory, never O(docs)); past
+    ``limits.cc_driver_edge_cap()`` edges the plan AUTO-SWITCHES to the
+    hash-to-min label-propagation loop run as Ray Data groupbys
     (``_cc_distributed``) — the path for edge sets that outgrow one
-    machine.  Either way the resulting (dup-doc → cluster) map is
-    broadcast via ``ray.put`` and applied as a vectorized searchsorted
-    lookup inside ``map_batches``; the documents table itself never
-    leaves the cluster.
+    machine.  ``distributed=True``/``False`` forces a path
+    (``None`` = auto).  Either way the resulting (dup-doc → cluster)
+    map is broadcast via ``ray.put`` and applied as a vectorized
+    searchsorted lookup inside ``map_batches``; the documents table
+    itself never leaves the cluster.
 
     Oracle note: the SQL twin takes ALL J≥threshold pairs as edges
     (recursive closure); parity holds because LSH candidate recall at
@@ -1041,6 +1042,10 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, shingle: int = 3,
         sf_dir, threshold=threshold, shingle=shingle, bands=bands, max_block=max_block
     )
 
+    if distributed is None:  # auto: same single-sourced cap style as df
+        from ..functions.limits import cc_driver_edge_cap
+
+        distributed = pairs.num_rows > cc_driver_edge_cap()
     keys, labels = (_cc_distributed if distributed else _cc_driver)(pairs)
     # cluster sizes over the dup-node set (keys are sorted)
     uniq, inv, cnt = np.unique(labels, return_inverse=True, return_counts=True)

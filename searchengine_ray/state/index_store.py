@@ -2,25 +2,30 @@
 
 Replaces the reference's pickle load of the whole index
 (``Part C/indexer.py:91-108``, ``Part C/utils.py:16-41``) with pruned
-parquet reads: the term dictionary is small and loaded eagerly; posting
-chunks are fetched per query term via hive-partition (shard) pruning +
-a term predicate pushed into pyarrow.dataset, so a query touches only
-the row groups holding its terms' postings.  Doc stats (the forward
-table, reference ``indexer.py:47-48``) are loaded lazily and kept as
-doc_id-sorted arrays for binary-search candidate lookup.
+parquet reads: the term dictionary is crc32-sharded on write (one
+``dictionary/sNNNNN.parquet`` per posting shard) and loaded LAZILY —
+a query touches only the dictionary shards its terms hash to, memoized
+per reader (= per serving actor); posting chunks are fetched per query
+term via hive-partition (shard) pruning + a term predicate pushed into
+pyarrow.dataset, so a query touches only the row groups holding its
+terms' postings.  Doc stats (the forward table, reference
+``indexer.py:47-48``) are loaded lazily and kept as doc_id-sorted
+arrays for binary-search candidate lookup.
 
-Scale note (10^12 turns): the dictionary itself would be sharded by the
-same crc32 partitioner and memoized per query-serving actor.  Doc
-lookups for the final top-k go through ``doc_rows`` — point reads of
-the dense-rank-sorted ``docmap`` artifact that touch only the row
-groups holding the requested ranks (O(k) rows, not O(N)); the full
-``docmap()`` load remains only as the legacy/whole-corpus-export path.
+Scale note (10^12 turns): doc lookups for the final top-k go through
+``doc_rows`` — point reads of the dense-rank-sorted ``docmap`` artifact
+that touch only the row groups holding the requested ranks (O(k) rows,
+not O(N)); the full ``docmap()`` load remains only as the
+legacy/whole-corpus-export path.  ``vocabulary()`` (spell/KNN expansion)
+is the one whole-dictionary consumer — it triggers the full load, which
+legacy (non-sNNNNN) dictionary layouts also fall back to eagerly.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -30,6 +35,18 @@ import pyarrow.parquet as pq
 
 from ..functions.codec import decode_postings
 from ..functions.hashing import term_shard
+
+DICT_SCHEMA = pa.schema(
+    [("term", pa.string()), ("df", pa.int64()),
+     ("cf", pa.int64()), ("shard", pa.int32())]
+)
+
+_DICT_SHARD_RE = re.compile(r"^s\d{5}\.parquet$")
+
+
+def dict_shard_path(dict_dir: str, shard: int) -> str:
+    """Path of one crc32 term shard's dictionary slice."""
+    return os.path.join(dict_dir, f"s{shard:05d}.parquet")
 
 # docmap files are written with small row groups so a top-k lookup reads
 # ~k/DOCMAP_ROW_GROUP groups; build.py stamps the value actually used
@@ -61,16 +78,15 @@ class IndexReader:
         self.n_docs = self.meta["n_docs"]
         self.avgdl = self.meta["avgdl"]
         self.n_shards = self.meta["n_shards"]
-        dic = pads.dataset(os.path.join(index_dir, "dictionary")).to_table()
-        self._dict = {
-            t: (df, cf, sh)
-            for t, df, cf, sh in zip(
-                dic["term"].to_pylist(),
-                dic["df"].to_pylist(),
-                dic["cf"].to_pylist(),
-                dic["shard"].to_pylist(),
-            )
-        }
+        # dictionary: lazy per-shard loading for the sNNNNN layout (a
+        # query loads only the shards its terms hash to); legacy layouts
+        # (ray-written part files, merged-segment dirs) have no
+        # term→file mapping and load eagerly as before
+        self._dict_dir = os.path.join(index_dir, "dictionary")
+        self._dict_shards: dict[int, dict] = {}
+        self._dict_all: dict | None = None
+        files = [f for f in os.listdir(self._dict_dir) if f.endswith(".parquet")]
+        self._dict_lazy = bool(files) and all(_DICT_SHARD_RE.match(f) for f in files)
         self._postings_ds = pads.dataset(
             os.path.join(index_dir, "postings"), partitioning="hive"
         )
@@ -79,7 +95,8 @@ class IndexReader:
         self._dm_info = "unset"
         self._dm_files: dict[int, pq.ParquetFile] = {}
         self._role_col = None
-        self.stats = {"docmap_rows_read": 0, "chunks_decoded": 0}
+        self.stats = {"docmap_rows_read": 0, "chunks_decoded": 0,
+                      "dict_shards_loaded": 0}
         import threading
         from collections import OrderedDict
 
@@ -114,20 +131,70 @@ class IndexReader:
         self.df_override: dict[str, int] | None = None
 
     # -- dictionary ------------------------------------------------------
+    def _load_full_dict(self) -> dict:
+        """Whole-dictionary load (legacy layouts; ``vocabulary()``
+        consumers like spell/KNN expansion).  Idempotent."""
+        if self._dict_all is None:
+            dic = pads.dataset(self._dict_dir).to_table()
+            self._dict_all = {
+                t: (df, cf, sh)
+                for t, df, cf, sh in zip(
+                    dic["term"].to_pylist(),
+                    dic["df"].to_pylist(),
+                    dic["cf"].to_pylist(),
+                    dic["shard"].to_pylist(),
+                )
+            }
+        return self._dict_all
+
+    def _dict_shard(self, shard: int) -> dict:
+        """One crc32 shard's term → (df, cf, shard) slice, memoized.
+        A duplicate load on a cache-miss race is benign (same data);
+        mutations go under _cache_lock like every other reader cache."""
+        d = self._dict_shards.get(shard)
+        if d is not None:
+            return d
+        path = dict_shard_path(self._dict_dir, shard)
+        if os.path.exists(path):
+            t = pq.read_table(path)
+            d = {
+                term: (df, cf, sh)
+                for term, df, cf, sh in zip(
+                    t["term"].to_pylist(), t["df"].to_pylist(),
+                    t["cf"].to_pylist(), t["shard"].to_pylist(),
+                )
+            }
+        else:  # shard had no postings → no slice file
+            d = {}
+        with self._cache_lock:
+            self._dict_shards[shard] = d
+            self.stats["dict_shards_loaded"] += 1
+        return d
+
+    def _entry(self, term: str):
+        """(df, cf, shard) of a dictionary term, or None — the single
+        lookup path: lazy shard load when the layout allows, whole-dict
+        fallback otherwise."""
+        if self._dict_all is not None:
+            return self._dict_all.get(term)
+        if not self._dict_lazy:
+            return self._load_full_dict().get(term)
+        return self._dict_shard(int(term_shard([term], self.n_shards)[0])).get(term)
+
     def has_term(self, term: str) -> bool:
-        return term in self._dict
+        return self._entry(term) is not None
 
     def cf(self, term: str) -> int:
         """Corpus frequency (total occurrences) of a dictionary term."""
-        return self._dict[term][1]
+        return self._entry(term)[1]
 
     def df(self, term: str) -> int:
         if self.df_override is not None:
             return self.df_override[term]
-        return self._dict[term][0]
+        return self._entry(term)[0]
 
     def vocabulary(self):
-        return self._dict.keys()
+        return self._load_full_dict().keys()
 
     # -- postings --------------------------------------------------------
     def chunk_meta(self, term: str):
@@ -161,7 +228,7 @@ class IndexReader:
         (the rebuild of Part A's single-bucket-file cache,
         ``Part A/searcher.py:53-61``), behind a lock since query threads
         share the reader."""
-        if term not in self._dict:
+        if self._entry(term) is None:
             return None
         if chunk_ids is None:
             with self._cache_lock:
@@ -250,7 +317,7 @@ class IndexReader:
         resident (LRU eviction can leave meta without chunks)."""
         out = []
         for t in terms:
-            if t not in self._dict:
+            if self._entry(t) is None:
                 continue
             meta = self._meta_cache.get(t)
             if meta is None:
@@ -371,7 +438,7 @@ class IndexReader:
         its terms completely (a term lives in exactly one shard)."""
         by_shard: dict[int, list[str]] = {}
         for t in want:
-            by_shard.setdefault(self._dict[t][2], []).append(t)
+            by_shard.setdefault(self._entry(t)[2], []).append(t)
         parts: list[pa.Table] = []
         legacy: list[tuple[int, list[str]]] = []
         for shard, ts in sorted(by_shard.items()):
@@ -404,7 +471,8 @@ class IndexReader:
         meta is unknown — the WAND path wants bounds for every query
         term before deciding which chunks to decode."""
         want = sorted(
-            t for t in terms if t in self._dict and t not in self._meta_cache
+            t for t in terms
+            if self._entry(t) is not None and t not in self._meta_cache
         )
         if not want:
             return
@@ -432,7 +500,8 @@ class IndexReader:
             # code path, so fetch fixes (locking, columns, legacy
             # fallback) can never diverge between warmup and query time
             return self.fetch_terms(terms)
-        want = set(self._cold_terms(self._dict))
+        full = self._load_full_dict()  # whole-dict warmup wants every term
+        want = set(self._cold_terms(full))
         if not want:
             return 0
         # whole-dictionary warmup: one pass PER SHARD reading the full
@@ -440,7 +509,7 @@ class IndexReader:
         # term is wanted), so peak transient memory is one shard's table
         by_shard: dict[int, list[str]] = {}
         for t in want:
-            by_shard.setdefault(self._dict[t][2], []).append(t)
+            by_shard.setdefault(full[t][2], []).append(t)
         n = 0
         cols = ["term", "chunk_idx", "doc_min", "doc_max", "max_ntf", "run"]
         for shard, _shard_terms in sorted(by_shard.items()):
@@ -452,7 +521,7 @@ class IndexReader:
                 tbl = self._postings_ds.to_table(
                     columns=cols, filter=pads.field("shard") == shard
                 )
-            if len(want) < len(self._dict):
+            if len(want) < len(full):
                 # partially warm reader: drop rows of resident terms
                 keep = [i for i, t in enumerate(tbl["term"].to_pylist()) if t in want]
                 tbl = tbl.take(pa.array(keep, pa.int64()))
@@ -461,7 +530,8 @@ class IndexReader:
         return n
 
     def _term_chunks(self, term: str, columns, chunk_ids=None):
-        shard = self._dict[term][2] if term in self._dict else int(term_shard([term], self.n_shards)[0])
+        ent = self._entry(term)
+        shard = ent[2] if ent is not None else int(term_shard([term], self.n_shards)[0])
         tbl = self._point_read(shard, [term], columns)
         if tbl is None:
             flt = (pads.field("shard") == shard) & (pads.field("term") == term)

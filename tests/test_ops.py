@@ -659,3 +659,28 @@ def test_ann_ivf_scorer_matches_pre_refactor_semantics():
     out = ProbeScorer((qids, qmat, probes), 2)(batch)
     # vec 7 is the query itself (dropped), vec 11 is in an unprobed cell
     assert out["vec_id"].to_pylist() == [12, 10]
+
+
+def test_dedup_clusters_auto_switches_past_edge_cap(planted_dir, monkeypatch):
+    """distributed=None (the default) must auto-route to the distributed
+    CC path once the edge list crosses limits.cc_driver_edge_cap —
+    removing the driver-union-find foot-gun at scale (round-4 VERDICT
+    #4).  Forced-low cap via the env knob; result identical either way."""
+    calls = []
+    orig = dedup._cc_distributed
+
+    def spy(pairs, **kw):
+        calls.append(pairs.num_rows)
+        return orig(pairs, **kw)
+
+    monkeypatch.setattr(dedup, "_cc_distributed", spy)
+    monkeypatch.setenv("GRAFT_CC_DRIVER_EDGE_CAP", "0")
+    auto = dedup.dedup_clusters(planted_dir, threshold=0.8).to_pandas()
+    assert calls, "edge count above the cap must take _cc_distributed"
+    calls.clear()
+    monkeypatch.setenv("GRAFT_CC_DRIVER_EDGE_CAP", "1000000")
+    driver = dedup.dedup_clusters(planted_dir, threshold=0.8).to_pandas()
+    assert not calls, "below the cap the driver union-find runs"
+    a = auto.sort_values("doc_id").reset_index(drop=True)
+    b = driver.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
