@@ -14,10 +14,11 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["df_broadcast_cap", "cc_driver_edge_cap"]
+__all__ = ["df_broadcast_cap", "cc_driver_edge_cap", "cand_broadcast_cap"]
 
 _DEFAULT_CAP = 2_000_000
 _DEFAULT_CC_CAP = 5_000_000
+_DEFAULT_CAND_CAP = 2_000_000
 
 
 def df_broadcast_cap(explicit: int | None = None) -> int:
@@ -26,6 +27,17 @@ def df_broadcast_cap(explicit: int | None = None) -> int:
     if explicit is not None:
         return explicit
     return int(os.environ.get("GRAFT_DF_BROADCAST_CAP", str(_DEFAULT_CAP)))
+
+
+def cand_broadcast_cap(explicit: int | None = None) -> int:
+    """Candidate-id cap for the MinHash verify paths' driver-side id
+    set + broadcast gram/signature lookup: ``explicit`` if given, else
+    ``$GRAFT_CAND_BROADCAST_CAP``, else 2M.  Past it the fetch flips to
+    Dataset hash joins (dedup._attach_gram_blobs) — a dup-heavy corpus
+    makes candidates O(docs) and the broadcast a driver OOM."""
+    if explicit is not None:
+        return explicit
+    return int(os.environ.get("GRAFT_CAND_BROADCAST_CAP", str(_DEFAULT_CAND_CAP)))
 
 
 def cc_driver_edge_cap(explicit: int | None = None) -> int:

@@ -26,7 +26,10 @@ survives the cap instead of silently losing the whole bucket.
 No path materializes a full per-doc table on the driver: candidate
 verification joins the (small by construction) candidate set back to
 the signature dataset via a broadcast id filter and runs as
-``map_batches``.
+``map_batches`` — and past ``limits.cand_broadcast_cap()`` candidate
+ids (dup-heavy corpora, where candidates go O(docs)) the broadcast
+flips to Dataset hash joins that ship gram sets / signatures on the
+pair rows as binary blobs.
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import hash_str_u64, poly_hash_u64, splitmix64
+from ..functions.limits import cand_broadcast_cap
 from ..functions.rounding import round_half_up
 
 logger = logging.getLogger("searchengine_ray.dedup")
@@ -202,6 +206,62 @@ def _rows_for_ids(ds, ids, schema: pa.Schema) -> pa.Table:
 # minhash_verified_pairs
 # ---------------------------------------------------------------------------
 
+_GRAM_LIST_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("gram_hashes", pa.list_(pa.int64()))]
+)
+
+
+def _gram_lists(t: pa.Table, shingle: int, fallback: bool) -> pa.Table:
+    """(doc_id, gram_hashes) — sorted-unique hashed word-``shingle``-gram
+    set per doc of an (already candidate-filtered) batch, all via the
+    shared vectorized gram path.  ``fallback=True`` adds the whole-text
+    single-shingle fallback for token-poor docs (the MinHashStage /
+    _MINHASH_SQL semantics); ``fallback=False`` leaves their sets empty
+    (the all-pairs ngram-Jaccard semantics, where gram-less docs never
+    pair)."""
+    n = t.num_rows
+    if n == 0:
+        return _GRAM_LIST_SCHEMA.empty_table()
+    texts = t["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    grams, parents = _flat_grams(texts, shingle)
+    keep = _distinct_rows(parents, grams)
+    par_d = parents[keep]
+    h = poly_hash_u64(grams.take(pa.array(keep, pa.int64())))
+    if fallback:
+        counts = np.bincount(par_d, minlength=n)
+        none = np.flatnonzero(counts == 0)
+        if len(none):
+            ins = np.searchsorted(par_d, none)
+            hf = poly_hash_u64(texts.take(pa.array(none, pa.int64())))
+            h = np.insert(h, ins, hf)
+            par_d = np.insert(par_d, ins, none)
+    # sorted-unique HASH set per doc (set-of-hashes semantics, as the
+    # former np.unique-per-doc loop had).  With fallback=False a
+    # gram-less batch leaves everything empty — every doc gets an empty
+    # list row (the np.r_[True, ...] seed needs >=1 element).
+    if len(par_d):
+        order = np.lexsort((h, par_d))
+        par_s, h_s = par_d[order], h[order]
+        first = np.r_[True, (par_s[1:] != par_s[:-1]) | (h_s[1:] != h_s[:-1])]
+        par_s, h_s = par_s[first], h_s[first]
+    else:
+        par_s, h_s = par_d, h
+    counts2 = np.bincount(par_s, minlength=n)
+    offsets = pa.array(
+        np.concatenate(([0], np.cumsum(counts2))).astype(np.int32)
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "gram_hashes": pa.ListArray.from_arrays(
+                offsets, pa.array(h_s.view(np.int64), pa.int64())
+            ),
+        }
+    )
+
+
 def _candidate_gram_lookup(sf_dir: str, needed, shingle: int, fallback: bool):
     """Hashed word-``shingle``-gram sets of the candidate docs, built
     DISTRIBUTEDLY and broadcast candidate-sized.
@@ -223,53 +283,10 @@ def _candidate_gram_lookup(sf_dir: str, needed, shingle: int, fallback: bool):
     import ray.data as rd
 
     ids_ref = ray.put(np.asarray(sorted(needed), dtype=np.int64))
-    out_schema = pa.schema(
-        [("doc_id", pa.int64()), ("gram_hashes", pa.list_(pa.int64()))]
-    )
+    out_schema = _GRAM_LIST_SCHEMA
 
     def gram_rows(t: pa.Table) -> pa.Table:
-        t = _filter_to_ids(t, ray.get(ids_ref))
-        n = t.num_rows
-        if n == 0:
-            return out_schema.empty_table()
-        texts = t["text"]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        grams, parents = _flat_grams(texts, shingle)
-        keep = _distinct_rows(parents, grams)
-        par_d = parents[keep]
-        h = poly_hash_u64(grams.take(pa.array(keep, pa.int64())))
-        if fallback:
-            counts = np.bincount(par_d, minlength=n)
-            none = np.flatnonzero(counts == 0)
-            if len(none):
-                ins = np.searchsorted(par_d, none)
-                hf = poly_hash_u64(texts.take(pa.array(none, pa.int64())))
-                h = np.insert(h, ins, hf)
-                par_d = np.insert(par_d, ins, none)
-        # sorted-unique HASH set per doc (set-of-hashes semantics, as
-        # the former np.unique-per-doc loop had).  With fallback=False a
-        # gram-less batch leaves everything empty — every doc gets an
-        # empty list row (the np.r_[True, ...] seed needs >=1 element).
-        if len(par_d):
-            order = np.lexsort((h, par_d))
-            par_s, h_s = par_d[order], h[order]
-            first = np.r_[True, (par_s[1:] != par_s[:-1]) | (h_s[1:] != h_s[:-1])]
-            par_s, h_s = par_s[first], h_s[first]
-        else:
-            par_s, h_s = par_d, h
-        counts2 = np.bincount(par_s, minlength=n)
-        offsets = pa.array(
-            np.concatenate(([0], np.cumsum(counts2))).astype(np.int32)
-        )
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "gram_hashes": pa.ListArray.from_arrays(
-                    offsets, pa.array(h_s.view(np.int64), pa.int64())
-                ),
-            }
-        )
+        return _gram_lists(_filter_to_ids(t, ray.get(ids_ref)), shingle, fallback)
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     tbl = _collect_table(ds.map_batches(gram_rows, batch_format="pyarrow"), out_schema)
@@ -298,20 +315,14 @@ def _gather_segments(flat: np.ndarray, off: np.ndarray, idx: np.ndarray):
     return flat[pos], lens
 
 
-def _pair_set_overlap(t: pa.Table, lookup) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized per-pair set intersection/union sizes for a batch of
-    candidate pairs against the broadcast gram lookup: gather both
-    sides' sorted hash segments, lexsort one (pair, hash) stream, count
-    adjacent duplicates (each side is unique within a pair, so a
-    duplicate key == a hash present on both sides).  No per-pair Python.
+def _overlap_counts(flat_a, la, flat_b, lb, P) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-pair set intersection/union sizes: both sides'
+    per-pair hash segments (concatenated in pair order, unique within a
+    pair) are merged into one (pair, hash) stream, lexsorted, and
+    adjacent duplicates counted — a duplicate key == a hash present on
+    both sides.  No per-pair Python.
 
     → (inter, union) float64 arrays, one entry per pair row."""
-    ids, off, flat = lookup
-    P = t.num_rows
-    ia = np.searchsorted(ids, t["doc_a"].to_numpy())
-    ib = np.searchsorted(ids, t["doc_b"].to_numpy())
-    flat_a, la = _gather_segments(flat, off, ia)
-    flat_b, lb = _gather_segments(flat, off, ib)
     pid = np.concatenate(
         [np.repeat(np.arange(P, dtype=np.int64), la),
          np.repeat(np.arange(P, dtype=np.int64), lb)]
@@ -323,6 +334,168 @@ def _pair_set_overlap(t: pa.Table, lookup) -> tuple[np.ndarray, np.ndarray]:
     inter = np.bincount(ps[1:][dup], minlength=P).astype(np.float64)
     union = (la + lb).astype(np.float64) - inter
     return inter, union
+
+
+def _pair_set_overlap(t: pa.Table, lookup) -> tuple[np.ndarray, np.ndarray]:
+    """Per-pair overlap of a candidate batch against the BROADCAST gram
+    lookup (the below-cap plan): gather both sides' sorted hash
+    segments, then the shared ``_overlap_counts`` stream merge."""
+    ids, off, flat = lookup
+    P = t.num_rows
+    ia = np.searchsorted(ids, t["doc_a"].to_numpy())
+    ib = np.searchsorted(ids, t["doc_b"].to_numpy())
+    flat_a, la = _gather_segments(flat, off, ia)
+    flat_b, lb = _gather_segments(flat, off, ib)
+    return _overlap_counts(flat_a, la, flat_b, lb, P)
+
+
+# ---------------------------------------------------------------------------
+# bucketed-attach verify plumbing: past limits.cand_broadcast_cap()
+# candidate ids, the broadcast-id fetch in the MinHash paths flips to a
+# bucketed carrier groupby (the _term_value_rows join shape — union the
+# payload rows with the pair rows on hash(key) % B, attach inside each
+# bucket group vectorized).  No driver-side id set, no candidate-sized
+# ray.put; gram sets / signatures ride the pair rows as binary blobs
+# (one u64 segment's bytes per row — shuffle-friendly, unlike lists in
+# Arrow's hash join).
+# ---------------------------------------------------------------------------
+
+_ATTACH_BUCKET_ROWS = 100_000  # target union rows per attach bucket
+
+
+def _u64_blob_column(counts: np.ndarray, flat_u64: np.ndarray) -> pa.Array:
+    """pa.binary() column whose row i holds its u64 segment's bytes
+    (segment sizes = ``counts``, values concatenated in ``flat_u64``)."""
+    byte_off = (np.concatenate(([0], np.cumsum(counts))) * 8).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), len(counts),
+        [None, pa.py_buffer(byte_off.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(flat_u64).tobytes())],
+    )
+
+
+def _decode_blob_column(col) -> tuple[np.ndarray, np.ndarray]:
+    """binary column → (flat u64 values in row order, element offsets
+    starting at 0).  Zero-copy reinterpretation of the Arrow value
+    buffer — no per-row Python."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset: arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    if len(arr) == 0 or off[-1] == off[0]:
+        return np.empty(0, np.uint64), np.zeros(len(arr) + 1, np.int64)
+    flat = np.frombuffer(
+        arr.buffers()[2], np.uint8, count=int(off[-1])
+    )[int(off[0]):].view(np.uint64)
+    return flat, (off - off[0]) // 8
+
+
+def _blob_overlap(t: pa.Table, col_a: str = "grams_a",
+                  col_b: str = "grams_b") -> tuple[np.ndarray, np.ndarray]:
+    """Per-pair (inter, union) set sizes from two attached blob columns
+    — the bucketed-attach twin of ``_pair_set_overlap``."""
+    fa, oa = _decode_blob_column(t[col_a])
+    fb, ob = _decode_blob_column(t[col_b])
+    return _overlap_counts(fa, np.diff(oa), fb, np.diff(ob), t.num_rows)
+
+
+def _attach_blob(pairs_ds, payload_ds, pair_schema: pa.Schema, key_col: str,
+                 out_col: str, n_pairs: int):
+    """INNER-attach ``payload_ds`` (doc_id, blob — one row per doc) onto
+    the pair rows by ``key_col`` → pair columns + ``out_col`` (binary).
+
+    One bucketed groupby on splitmix64(key) %% B (B sized off the pair
+    count so bucket-group tasks stay ~``_ATTACH_BUCKET_ROWS`` rows):
+    payload and pair rows are unioned under a shared schema (carrier
+    rows pad the pair columns with nulls, pair rows carry a null blob),
+    each bucket group sorts its carrier keys once and gathers blobs for
+    its pair rows with a searchsorted probe — all Arrow/numpy, no
+    per-row Python.  Pair rows whose key has no carrier are dropped
+    (inner semantics).  A hot doc key lands all its pair rows in one
+    bucket — inherent to any per-key join — where the work stays one
+    sort + gather."""
+    n_bkt = max(64, int(n_pairs // _ATTACH_BUCKET_ROWS) + 1)
+    names = list(pair_schema.names)
+    types = {n: pair_schema.field(n).type for n in names}
+
+    def bkt_of(keys: np.ndarray) -> pa.Array:
+        h = splitmix64(keys.astype(np.uint64)) % np.uint64(n_bkt)
+        return pa.array(h.astype(np.int32), pa.int32())
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy()
+        cols = {"_bkt": bkt_of(k), "_key": pa.array(k, pa.int64()),
+                "_blob": pa.nulls(len(k), pa.binary()),
+                "_isp": pa.array(np.ones(len(k), bool))}
+        for c in names:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    def carrier_rows(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy()
+        cols = {"_bkt": bkt_of(k), "_key": pa.array(k, pa.int64()),
+                "_blob": t["blob"],
+                "_isp": pa.array(np.zeros(len(k), bool))}
+        for c in names:
+            cols[c] = pa.nulls(len(k), types[c])
+        return pa.table(cols)
+
+    def attach(g: pa.Table) -> pa.Table:
+        empty = {c: pa.array([], types[c]) for c in names}
+        empty[out_col] = pa.array([], pa.binary())
+        if g.num_rows == 0 or "_isp" not in g.schema.names:
+            return pa.table(empty)
+        isp = g["_isp"].to_numpy(zero_copy_only=False).astype(bool)
+        keys = g["_key"].to_numpy()
+        ck, pk = keys[~isp], keys[isp]
+        if not len(ck) or not len(pk):
+            return pa.table(empty)
+        order = np.argsort(ck, kind="stable")
+        pos = np.searchsorted(ck[order], pk).clip(0, len(ck) - 1)
+        hit = ck[order][pos] == pk
+        blobs = g["_blob"].combine_chunks().filter(pa.array(~isp))
+        pair_idx = pa.array(np.flatnonzero(isp)[hit], pa.int64())
+        out = {c: g[c].take(pair_idx) for c in names}
+        out[out_col] = blobs.take(pa.array(order[pos[hit]], pa.int64()))
+        return pa.table(out)
+
+    return (
+        pairs_ds.map_batches(pair_rows, batch_format="pyarrow")
+        .union(payload_ds.map_batches(carrier_rows, batch_format="pyarrow"))
+        .groupby("_bkt")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+
+def _attach_gram_blobs(sf_dir: str, pairs_ds, pair_schema: pa.Schema,
+                       shingle: int, fallback: bool, n_pairs: int):
+    """Attach both pair members' gram-set blobs (``grams_a``/``grams_b``)
+    to a pair Dataset via two bucketed attaches — the above-cap plan.
+    The gram stage runs ONCE over the documents table (at cap-activation
+    scale candidates are O(docs), so the per-candidate filter the
+    broadcast path uses would save little) and is materialized in the
+    object store so both attaches read the same blobs."""
+    import ray.data as rd
+
+    def blob_rows(t: pa.Table) -> pa.Table:
+        lists = _gram_lists(t, shingle, fallback)
+        ll = lists["gram_hashes"].combine_chunks()
+        counts = pc.list_value_length(ll).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = ll.flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64).view(np.uint64)
+        return pa.table({"doc_id": lists["doc_id"],
+                         "blob": _u64_blob_column(counts, flat)})
+
+    gram_ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(blob_rows, batch_format="pyarrow")
+        .materialize()
+    )
+    with_a = _attach_blob(pairs_ds, gram_ds, pair_schema, "doc_a",
+                          "grams_a", n_pairs)
+    schema_a = pair_schema.append(pa.field("grams_a", pa.binary()))
+    return _attach_blob(with_a, gram_ds, schema_a, "doc_b", "grams_b", n_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -595,6 +768,81 @@ def _lsh_candidates(sigs, bands: int, max_block: int, n_hashes: int = 128):
     )
 
 
+def _minhash_lsh_pairs_join(sf_dir, sigs, cand, n_pairs, threshold, verify,
+                            shingle, out_schema, full_schema):
+    """Above-cap plan of ``minhash_lsh_pairs``: signatures (and, with
+    ``verify=True``, exact gram sets) attach to the candidate pair rows
+    via bucketed carrier groupbys instead of a driver id set + broadcast
+    lookup — same kernels, same output, candidate-count-proof data
+    motion."""
+
+    def sig_blob_rows(t: pa.Table) -> pa.Table:
+        ll = t["signature"]
+        if isinstance(ll, pa.ChunkedArray):
+            ll = ll.combine_chunks()
+        counts = pc.list_value_length(ll).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(ll).to_numpy(
+            zero_copy_only=False).astype(np.int64).view(np.uint64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "blob": _u64_blob_column(counts, flat)})
+
+    cand_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                             ("n_bands", pa.int64())])
+    sig_ds = sigs.map_batches(sig_blob_rows, batch_format="pyarrow").materialize()
+    with_a = _attach_blob(cand, sig_ds, cand_schema, "doc_a", "sig_a", n_pairs)
+    joined = _attach_blob(
+        with_a, sig_ds, cand_schema.append(pa.field("sig_a", pa.binary())),
+        "doc_b", "sig_b", n_pairs,
+    )
+
+    def score_join(t: pa.Table) -> pa.Table:
+        fa, oa = _decode_blob_column(t["sig_a"])
+        fb, _ = _decode_blob_column(t["sig_b"])
+        P = t.num_rows
+        w = int(oa[1] - oa[0])  # fixed signature width (n_hashes)
+        est = (fa.reshape(P, w) == fb.reshape(P, w)).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].filter(pa.array(keep)),
+                "doc_b": t["doc_b"].filter(pa.array(keep)),
+                "est_jaccard": pa.array(round_half_up(est[keep], 4)),
+            }
+        )
+
+    scored = joined.map_batches(score_join, batch_format="pyarrow",
+                                batch_size=2048)
+    if not verify:
+        return _collect_table(scored, out_schema).sort_by(
+            [("doc_a", "ascending"), ("doc_b", "ascending")]
+        )
+    scored = scored.materialize()
+    n_surv = scored.count()
+    if n_surv == 0:
+        return full_schema.empty_table()
+    withgrams = _attach_gram_blobs(sf_dir, scored, out_schema, shingle,
+                                   fallback=True, n_pairs=n_surv)
+
+    def add_exact_join(tb: pa.Table) -> pa.Table:
+        inter, union = _blob_overlap(tb)
+        j = inter / union  # fallback=True → sets never empty
+        return pa.table(
+            {
+                "doc_a": tb["doc_a"],
+                "doc_b": tb["doc_b"],
+                "est_jaccard": tb["est_jaccard"],
+                "jaccard": pa.array(round_half_up(j, 4), pa.float64()),
+            }
+        )
+
+    return _collect_table(
+        withgrams.map_batches(add_exact_join, batch_format="pyarrow",
+                              batch_size=2048),
+        full_schema,
+    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
 def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
                       verify: bool = False, shingle: int = 3, max_block: int = 200):
     """→ (doc_a, doc_b, est_jaccard[, jaccard]) from banded LSH candidates,
@@ -623,6 +871,15 @@ def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
     full_schema = (
         out_schema.append(pa.field("jaccard", pa.float64())) if verify else out_schema
     )
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        return full_schema.empty_table()
+    if 2 * n_pairs > cand_broadcast_cap():
+        return _minhash_lsh_pairs_join(
+            sf_dir, sigs, cand, n_pairs, threshold, verify, shingle,
+            out_schema, full_schema,
+        )
+
     needed = sorted(set(cand.unique("doc_a") or [])
                     | set(cand.unique("doc_b") or []))  # unique() is None on empty
     if not needed:
@@ -721,6 +978,38 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = 0.8, shingle: int = 3
     out_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
     )
+
+    def jaccard_keep(tb: pa.Table, inter, union) -> pa.Table:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+        keep = (union > 0) & (j >= threshold)
+        return pa.table(
+            {
+                "doc_a": tb["doc_a"].filter(pa.array(keep)),
+                "doc_b": tb["doc_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(round_half_up(j[keep], 4), pa.float64()),
+            }
+        )
+
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        return out_schema.empty_table()
+    if 2 * n_pairs > cand_broadcast_cap():
+        # above-cap plan (a dup-heavy corpus makes candidates O(docs)):
+        # gram blobs ride the pair rows via bucketed attaches — no
+        # driver id set, no candidate-sized broadcast; same verify kernel
+        cand_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                                 ("n_bands", pa.int64())])
+        joined = _attach_gram_blobs(sf_dir, cand, cand_schema, shingle,
+                                    fallback=False, n_pairs=n_pairs)
+        verified = joined.map_batches(
+            lambda tb: jaccard_keep(tb, *_blob_overlap(tb)),
+            batch_format="pyarrow", batch_size=2048,
+        )
+        return _collect_table(verified, out_schema).sort_by(
+            [("doc_a", "ascending"), ("doc_b", "ascending")]
+        )
+
     needed = sorted(set(cand.unique("doc_a") or [])
                     | set(cand.unique("doc_b") or []))  # unique() is None on empty
     if not needed:
@@ -734,17 +1023,7 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = 0.8, shingle: int = 3
     gram_ref = _candidate_gram_lookup(sf_dir, needed, shingle, fallback=False)
 
     def verify(tb: pa.Table) -> pa.Table:
-        inter, union = _pair_set_overlap(tb, ray.get(gram_ref))
-        with np.errstate(invalid="ignore", divide="ignore"):
-            j = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
-        keep = (union > 0) & (j >= threshold)
-        return pa.table(
-            {
-                "doc_a": tb["doc_a"].filter(pa.array(keep)),
-                "doc_b": tb["doc_b"].filter(pa.array(keep)),
-                "jaccard": pa.array(round_half_up(j[keep], 4), pa.float64()),
-            }
-        )
+        return jaccard_keep(tb, *_pair_set_overlap(tb, ray.get(gram_ref)))
 
     return _collect_table(
         cand.map_batches(verify, batch_format="pyarrow", batch_size=2048), out_schema
