@@ -44,8 +44,9 @@ sentinel in bucket summaries relies on it; _tag enforces it with a
 vectorized check so a bad generator fails loudly).  In the as-of plan the
 tagged scan feeds both the carry branch and the main union, so the
 pruned events read executes TWICE — two streaming passes over a
-column-pruned, type-filtered read, chosen over materializing the
-filtered stream mid-pipeline.
+column-pruned, type-filtered read, the any-scale default;
+``materialize_tagged=True`` pins the tagged stream in the object store
+instead (one scan) for when the filtered stream fits.
 """
 
 from __future__ import annotations
@@ -284,6 +285,7 @@ def asof_prior_event(
     left_type: str = "purchase",
     right_type: str = "click",
     bucket_days: int = 7,
+    materialize_tagged: bool = False,
 ):
     """As-of join → (event_id, user_id, value, prior_event_id,
     prior_gap_us, prior_value); one row per left event that HAS a prior.
@@ -291,6 +293,14 @@ def asof_prior_event(
     Scale shape: summary shuffle is metadata-sized; the per-user prefix
     scan touches O(active buckets) rows; the single full-data shuffle
     groups by (user, bucket) so no group ever holds a user's lifetime.
+
+    The tagged scan feeds both the carry branch and the main union.  By
+    default that is TWO streaming passes over the column-pruned,
+    type-filtered read (no mid-pipeline state, works at any scale);
+    with ``materialize_tagged=True`` the tagged stream is pinned in the
+    object store once and both branches read it — one events scan, the
+    right call when the filtered stream fits the cluster's object store
+    (it is already down to 6 narrow columns × the two joined types).
     """
     bucket_us = bucket_days * _US_PER_DAY
     tagged = _read_events(sf_dir).map_batches(
@@ -302,6 +312,8 @@ def asof_prior_event(
             "bucket_us": bucket_us,
         },
     )
+    if materialize_tagged:
+        tagged = tagged.materialize()
     carries = (
         tagged.map_batches(_summary_partial, batch_format="pyarrow")
         .groupby("user_id")

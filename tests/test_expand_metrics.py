@@ -221,3 +221,32 @@ def test_spell_expansion_probes_uppercase_vocab():
 
     out = SpellExpansion()({"trmup": 1.0}, _Engine())
     assert out == {"TRUMP": 1.0}
+
+
+def test_spell_expansion_picks_highest_corpus_frequency():
+    """Among equal-edit-distance candidates the correction with the
+    highest corpus frequency wins (pyspellchecker's frequency ranking,
+    Part C/SpellChecker.py:9-24), with the term string as a deterministic
+    tiebreak — and edits1 candidates pre-empt edits2 entirely."""
+    class _Reader:
+        vocab = {"cat": 2, "car": 90}
+
+        def has_term(self, t):
+            return t in self.vocab
+
+        def cf(self, t):
+            return self.vocab.get(t, 0)
+
+    class _Engine:
+        reader = _Reader()
+
+    # frequency decides, not the alphabet: "cat" > "car" lexically but
+    # car's cf is higher
+    assert SpellExpansion()({"caz": 1.0}, _Engine()) == {"car": 1.0}
+    # equal cf → the term string breaks the tie deterministically
+    _Reader.vocab = {"cat": 5, "car": 5}
+    assert SpellExpansion()({"caz": 1.0}, _Engine()) == {"cat": 1.0}
+    # a distance-1 hit pre-empts distance-2 candidates however frequent:
+    # cart (insert+replace) never competes with car
+    _Reader.vocab = {"cart": 1000, "car": 1}
+    assert SpellExpansion()({"caz": 1.0}, _Engine()) == {"car": 1.0}

@@ -224,3 +224,18 @@ def test_joins_empty_when_types_absent(ray_session, tmp_path):
     assert len(r) == 0 and sorted(r.columns) == sorted(
         ["event_id", "user_id", "n_follow", "follow_value"]
     )
+
+
+def test_asof_materialize_tagged_parity(ray_session, tmp_path):
+    """materialize_tagged=True (one pinned events scan instead of two
+    streaming passes) must be result-identical to the default plan."""
+    rng = np.random.default_rng(7)
+    sf = _write_events(tmp_path, _planted(rng, n_users=5, n_per_user=60))
+    key = ["event_id", "user_id", "prior_event_id", "prior_gap_us"]
+    base = asof_prior_event(sf, bucket_days=1).to_pandas().sort_values(key).reset_index(drop=True)
+    mat = (
+        asof_prior_event(sf, bucket_days=1, materialize_tagged=True)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    assert len(base) > 0
+    assert mat.equals(base)
