@@ -400,12 +400,14 @@ def _blob_overlap(t: pa.Table, col_a: str = "grams_a",
 
 
 def _attach_blob(pairs_ds, payload_ds, pair_schema: pa.Schema, key_col: str,
-                 out_col: str, n_pairs: int):
+                 out_col: str, n_union: int):
     """INNER-attach ``payload_ds`` (doc_id, blob — one row per doc) onto
     the pair rows by ``key_col`` → pair columns + ``out_col`` (binary).
 
-    One bucketed groupby on splitmix64(key) %% B (B sized off the pair
-    count so bucket-group tasks stay ~``_ATTACH_BUCKET_ROWS`` rows):
+    One bucketed groupby on splitmix64(key) %% B (B sized off the TOTAL
+    unioned row count ``n_union`` = pairs + payload rows — the carrier
+    side usually dominates when docs >> candidates — so bucket-group
+    tasks stay ~``_ATTACH_BUCKET_ROWS`` rows):
     payload and pair rows are unioned under a shared schema (carrier
     rows pad the pair columns with nulls, pair rows carry a null blob),
     each bucket group sorts its carrier keys once and gathers blobs for
@@ -414,7 +416,7 @@ def _attach_blob(pairs_ds, payload_ds, pair_schema: pa.Schema, key_col: str,
     (inner semantics).  A hot doc key lands all its pair rows in one
     bucket — inherent to any per-key join — where the work stays one
     sort + gather."""
-    n_bkt = max(64, int(n_pairs // _ATTACH_BUCKET_ROWS) + 1)
+    n_bkt = max(64, int(n_union // _ATTACH_BUCKET_ROWS) + 1)
     names = list(pair_schema.names)
     types = {n: pair_schema.field(n).type for n in names}
 
@@ -492,10 +494,11 @@ def _attach_gram_blobs(sf_dir: str, pairs_ds, pair_schema: pa.Schema,
         .map_batches(blob_rows, batch_format="pyarrow")
         .materialize()
     )
+    n_union = n_pairs + gram_ds.count()  # carriers dominate when docs >> pairs
     with_a = _attach_blob(pairs_ds, gram_ds, pair_schema, "doc_a",
-                          "grams_a", n_pairs)
+                          "grams_a", n_union)
     schema_a = pair_schema.append(pa.field("grams_a", pa.binary()))
-    return _attach_blob(with_a, gram_ds, schema_a, "doc_b", "grams_b", n_pairs)
+    return _attach_blob(with_a, gram_ds, schema_a, "doc_b", "grams_b", n_union)
 
 
 # ---------------------------------------------------------------------------
@@ -790,10 +793,11 @@ def _minhash_lsh_pairs_join(sf_dir, sigs, cand, n_pairs, threshold, verify,
     cand_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                              ("n_bands", pa.int64())])
     sig_ds = sigs.map_batches(sig_blob_rows, batch_format="pyarrow").materialize()
-    with_a = _attach_blob(cand, sig_ds, cand_schema, "doc_a", "sig_a", n_pairs)
+    n_union = n_pairs + sig_ds.count()  # carriers dominate when docs >> pairs
+    with_a = _attach_blob(cand, sig_ds, cand_schema, "doc_a", "sig_a", n_union)
     joined = _attach_blob(
         with_a, sig_ds, cand_schema.append(pa.field("sig_a", pa.binary())),
-        "doc_b", "sig_b", n_pairs,
+        "doc_b", "sig_b", n_union,
     )
 
     def score_join(t: pa.Table) -> pa.Table:
@@ -860,7 +864,9 @@ def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # signatures are consumed twice (banding + candidate fetch):
     # materialize once into the (distributed, spillable) object store
-    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 4)).materialize()
+    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow",
+                          fn_constructor_kwargs={"shingle": shingle},
+                          concurrency=(1, 4)).materialize()
     cand = _lsh_candidates(sigs, bands, max_block)
 
     out_schema = pa.schema(
@@ -946,6 +952,74 @@ def minhash_lsh_pairs(sf_dir: str, bands: int = 32, threshold: float = 0.7,
     )
 
 
+_VERIFIED_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
+def _minhash_verified_pairs_ds(sf_dir: str, threshold: float, shingle: int,
+                               bands: int, max_block: int):
+    """Dataset core of ``minhash_verified_pairs``: the verified pair
+    stream as an UN-collected Dataset (``_VERIFIED_SCHEMA`` rows), or
+    ``None`` when there are no candidates at all (a zero-block Dataset
+    loses its schema — callers pin it instead).  Consumers that need the
+    edge list cluster-side (``dedup_clusters``'s distributed CC) use
+    this directly so the edges never land on the driver."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow",
+                          fn_constructor_kwargs={"shingle": shingle},
+                          concurrency=(1, 4)).materialize()
+    cand = _lsh_candidates(sigs, bands, max_block)
+
+    def jaccard_keep(tb: pa.Table, inter, union) -> pa.Table:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+        keep = (union > 0) & (j >= threshold)
+        return pa.table(
+            {
+                "doc_a": tb["doc_a"].filter(pa.array(keep)),
+                "doc_b": tb["doc_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(round_half_up(j[keep], 4), pa.float64()),
+            }
+        )
+
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        return None
+    if 2 * n_pairs > cand_broadcast_cap():
+        # above-cap plan (a dup-heavy corpus makes candidates O(docs)):
+        # gram blobs ride the pair rows via bucketed attaches — no
+        # driver id set, no candidate-sized broadcast; same verify kernel
+        cand_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                                 ("n_bands", pa.int64())])
+        joined = _attach_gram_blobs(sf_dir, cand, cand_schema, shingle,
+                                    fallback=False, n_pairs=n_pairs)
+        return joined.map_batches(
+            lambda tb: jaccard_keep(tb, *_blob_overlap(tb)),
+            batch_format="pyarrow", batch_size=2048,
+        )
+
+    needed = sorted(set(cand.unique("doc_a") or [])
+                    | set(cand.unique("doc_b") or []))  # unique() is None on empty
+    if not needed:
+        return None
+
+    # distributed exact verify (round-3 VERDICT top item): hashed gram
+    # sets built cluster-side via the broadcast-id filter — no fallback
+    # (gram-less docs have empty sets and never pair, the all-pairs
+    # ngram-Jaccard oracle semantics) — then a vectorized per-batch
+    # pair intersection.  No driver text fetch, no per-pair Python.
+    gram_ref = _candidate_gram_lookup(sf_dir, needed, shingle, fallback=False)
+
+    def verify(tb: pa.Table) -> pa.Table:
+        return jaccard_keep(tb, *_pair_set_overlap(tb, ray.get(gram_ref)))
+
+    return cand.map_batches(verify, batch_format="pyarrow", batch_size=2048)
+
+
 def minhash_verified_pairs(sf_dir: str, threshold: float = 0.8, shingle: int = 3,
                            bands: int = 32, max_block: int = 200):
     """→ (doc_a, doc_b, jaccard): the standard blocking-plus-verification
@@ -966,68 +1040,13 @@ def minhash_verified_pairs(sf_dir: str, threshold: float = 0.8, shingle: int = 3
     size — over-cap buckets are salted into capped sub-chunks + bridges
     (connectivity-preserving, intentionally PARTIAL pair list), so for
     exact all-pairs oracle parity pass an effectively-unbounded value."""
-    import ray
-    import ray.data as rd
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sigs = ds.map_batches(MinHashStage, batch_format="pyarrow",
-                          fn_constructor_kwargs={"shingle": shingle},
-                          concurrency=(1, 4)).materialize()
-    cand = _lsh_candidates(sigs, bands, max_block)
-
-    out_schema = pa.schema(
-        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+    verified = _minhash_verified_pairs_ds(sf_dir, threshold, shingle, bands,
+                                          max_block)
+    if verified is None:
+        return _VERIFIED_SCHEMA.empty_table()
+    return _collect_table(verified, _VERIFIED_SCHEMA).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")]
     )
-
-    def jaccard_keep(tb: pa.Table, inter, union) -> pa.Table:
-        with np.errstate(invalid="ignore", divide="ignore"):
-            j = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
-        keep = (union > 0) & (j >= threshold)
-        return pa.table(
-            {
-                "doc_a": tb["doc_a"].filter(pa.array(keep)),
-                "doc_b": tb["doc_b"].filter(pa.array(keep)),
-                "jaccard": pa.array(round_half_up(j[keep], 4), pa.float64()),
-            }
-        )
-
-    n_pairs = cand.count()
-    if n_pairs == 0:
-        return out_schema.empty_table()
-    if 2 * n_pairs > cand_broadcast_cap():
-        # above-cap plan (a dup-heavy corpus makes candidates O(docs)):
-        # gram blobs ride the pair rows via bucketed attaches — no
-        # driver id set, no candidate-sized broadcast; same verify kernel
-        cand_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                                 ("n_bands", pa.int64())])
-        joined = _attach_gram_blobs(sf_dir, cand, cand_schema, shingle,
-                                    fallback=False, n_pairs=n_pairs)
-        verified = joined.map_batches(
-            lambda tb: jaccard_keep(tb, *_blob_overlap(tb)),
-            batch_format="pyarrow", batch_size=2048,
-        )
-        return _collect_table(verified, out_schema).sort_by(
-            [("doc_a", "ascending"), ("doc_b", "ascending")]
-        )
-
-    needed = sorted(set(cand.unique("doc_a") or [])
-                    | set(cand.unique("doc_b") or []))  # unique() is None on empty
-    if not needed:
-        return out_schema.empty_table()
-
-    # distributed exact verify (round-3 VERDICT top item): hashed gram
-    # sets built cluster-side via the broadcast-id filter — no fallback
-    # (gram-less docs have empty sets and never pair, the all-pairs
-    # ngram-Jaccard oracle semantics) — then a vectorized per-batch
-    # pair intersection.  No driver text fetch, no per-pair Python.
-    gram_ref = _candidate_gram_lookup(sf_dir, needed, shingle, fallback=False)
-
-    def verify(tb: pa.Table) -> pa.Table:
-        return jaccard_keep(tb, *_pair_set_overlap(tb, ray.get(gram_ref)))
-
-    return _collect_table(
-        cand.map_batches(verify, batch_format="pyarrow", batch_size=2048), out_schema
-    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 # ---------------------------------------------------------------------------
@@ -1209,7 +1228,7 @@ def _cc_round_bucket(g: pa.Table, n_buckets: int = _CC_BUCKETS) -> pa.Table:
     )
 
 
-def _cc_distributed(pairs: pa.Table, max_rounds: int = 64) -> tuple[np.ndarray, np.ndarray]:
+def _cc_distributed(pairs, max_rounds: int = 64) -> tuple[np.ndarray, np.ndarray]:
     """Distributed connected components: hash-to-min label propagation
     (Rastogi et al., "Finding Connected Components in Map-Reduce")
     iterated as Ray Data groupbys over the cluster-set Dataset until
@@ -1228,26 +1247,42 @@ def _cc_distributed(pairs: pa.Table, max_rounds: int = 64) -> tuple[np.ndarray, 
     bucket — the hash-to-min skew the paper accepts.  Fixpoint
     detection compares
     (row count, order-free splitmix checksum) of the emitted state
-    across rounds.  → same (keys, labels) as ``_cc_driver``."""
+    across rounds.  → same (keys, labels) as ``_cc_driver``.
+
+    ``pairs`` is a (doc_a, doc_b) pa.Table OR a Ray Dataset — the
+    Dataset form is how ``dedup_clusters`` keeps big edge lists
+    cluster-side end to end (the auto-switch would be pointless if the
+    edges had to visit the driver first)."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Min
 
-    a = pairs["doc_a"].to_numpy()
-    b = pairs["doc_b"].to_numpy()
-    if not len(a):
+    if isinstance(pairs, pa.Table):
+        n_edges = pairs.num_rows
+        pairs_ds = rd.from_arrow(pairs) if n_edges else None
+    else:
+        pairs_ds = pairs
+        n_edges = pairs_ds.count()
+    if not n_edges:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    u0 = np.concatenate([a, b])
-    v0 = np.concatenate([b, a])
     # hash-to-min state peaks at ~2× the (deduped, self-looped) edge
-    # rows; size the bucket fan-out off the initial edge count with that
-    # headroom so per-round tasks stay ~_CC_BUCKET_ROWS rows
-    n_buckets = max(_CC_BUCKETS, int(4 * len(u0) // _CC_BUCKET_ROWS) + 1)
-    cur = rd.from_arrow(pa.table({
-        "bucket": pa.array((u0 % n_buckets).astype(np.int32), pa.int32()),
-        "u": pa.array(u0, pa.int64()),
-        "v": pa.array(v0, pa.int64()),
-    }))
+    # rows; size the bucket fan-out off the initial edge count (2 ×
+    # n_edges directed rows) with that headroom so per-round tasks stay
+    # ~_CC_BUCKET_ROWS rows
+    n_buckets = max(_CC_BUCKETS, int(8 * n_edges // _CC_BUCKET_ROWS) + 1)
+
+    def init_state(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        u0 = np.concatenate([a, b])
+        v0 = np.concatenate([b, a])
+        return pa.table({
+            "bucket": pa.array((u0 % n_buckets).astype(np.int32), pa.int32()),
+            "u": pa.array(u0, pa.int64()),
+            "v": pa.array(v0, pa.int64()),
+        })
+
+    cur = pairs_ds.map_batches(init_state, batch_format="pyarrow")
 
     def checksum(t: pa.Table) -> pa.Table:
         h = splitmix64(
@@ -1298,13 +1333,15 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, shingle: int = 3,
     the standard "drop near-duplicates, keep one per cluster" step.
 
     Distribution: the edge list comes from the fully distributed
-    LSH+verify pipeline and is candidate-sized by construction.  Small
-    edge sets are solved with a driver-side union-find over PAIRS ONLY
-    (O(edges) memory, never O(docs)); past
-    ``limits.cc_driver_edge_cap()`` edges the plan AUTO-SWITCHES to the
-    hash-to-min label-propagation loop run as Ray Data groupbys
-    (``_cc_distributed``) — the path for edge sets that outgrow one
-    machine.  ``distributed=True``/``False`` forces a path
+    LSH+verify pipeline and STAYS a (materialized, spillable) Dataset
+    through the path decision — counted cluster-side, collected to the
+    driver only when the driver path is chosen.  Small edge sets are
+    solved with a driver-side union-find over PAIRS ONLY (O(edges)
+    memory, never O(docs)); past ``limits.cc_driver_edge_cap()`` edges
+    the plan AUTO-SWITCHES to the hash-to-min label-propagation loop
+    run as Ray Data groupbys (``_cc_distributed``), fed the Dataset
+    directly — edge sets that outgrow one machine never visit the
+    driver.  ``distributed=True``/``False`` forces a path
     (``None`` = auto).  Either way the resulting (dup-doc → cluster)
     map is broadcast via ``ray.put`` and applied as a vectorized
     searchsorted lookup inside ``map_batches``; the documents table
@@ -1317,15 +1354,26 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8, shingle: int = 3,
     import ray
     import ray.data as rd
 
-    pairs = minhash_verified_pairs(
-        sf_dir, threshold=threshold, shingle=shingle, bands=bands, max_block=max_block
-    )
+    verified = _minhash_verified_pairs_ds(sf_dir, threshold, shingle, bands,
+                                          max_block)
+    # pin the edge stream cluster-side and count it there — the path
+    # decision happens BEFORE any driver collection, so an edge set past
+    # the cap never lands on the driver at all
+    verified = verified.materialize() if verified is not None else None
+    n_edges = verified.count() if verified is not None else 0
 
     if distributed is None:  # auto: same single-sourced cap style as df
         from ..functions.limits import cc_driver_edge_cap
 
-        distributed = pairs.num_rows > cc_driver_edge_cap()
-    keys, labels = (_cc_distributed if distributed else _cc_driver)(pairs)
+        distributed = n_edges > cc_driver_edge_cap()
+    if distributed:
+        keys, labels = _cc_distributed(
+            verified if verified is not None else _VERIFIED_SCHEMA.empty_table()
+        )
+    else:
+        pairs = (_collect_table(verified, _VERIFIED_SCHEMA)
+                 if verified is not None else _VERIFIED_SCHEMA.empty_table())
+        keys, labels = _cc_driver(pairs)
     # cluster sizes over the dup-node set (keys are sorted)
     uniq, inv, cnt = np.unique(labels, return_inverse=True, return_counts=True)
     lookup_ref = ray.put((keys, labels, cnt[inv].astype(np.int64)))

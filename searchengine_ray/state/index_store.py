@@ -184,14 +184,23 @@ class IndexReader:
     def has_term(self, term: str) -> bool:
         return self._entry(term) is not None
 
+    def _entry_or_raise(self, term: str):
+        """_entry, but unknown terms raise KeyError naming the term (the
+        pre-sharding contract callers catch) instead of a NoneType
+        subscript error."""
+        ent = self._entry(term)
+        if ent is None:
+            raise KeyError(term)
+        return ent
+
     def cf(self, term: str) -> int:
         """Corpus frequency (total occurrences) of a dictionary term."""
-        return self._entry(term)[1]
+        return self._entry_or_raise(term)[1]
 
     def df(self, term: str) -> int:
         if self.df_override is not None:
             return self.df_override[term]
-        return self._entry(term)[0]
+        return self._entry_or_raise(term)[0]
 
     def vocabulary(self):
         return self._load_full_dict().keys()
@@ -438,7 +447,7 @@ class IndexReader:
         its terms completely (a term lives in exactly one shard)."""
         by_shard: dict[int, list[str]] = {}
         for t in want:
-            by_shard.setdefault(self._entry(t)[2], []).append(t)
+            by_shard.setdefault(self._entry_or_raise(t)[2], []).append(t)
         parts: list[pa.Table] = []
         legacy: list[tuple[int, list[str]]] = []
         for shard, ts in sorted(by_shard.items()):

@@ -670,13 +670,17 @@ def test_dedup_clusters_auto_switches_past_edge_cap(planted_dir, monkeypatch):
     orig = dedup._cc_distributed
 
     def spy(pairs, **kw):
-        calls.append(pairs.num_rows)
+        # the auto path hands _cc_distributed a Ray DATASET (edges never
+        # visit the driver); only direct-Table callers see num_rows
+        calls.append(type(pairs).__name__)
         return orig(pairs, **kw)
 
     monkeypatch.setattr(dedup, "_cc_distributed", spy)
     monkeypatch.setenv("GRAFT_CC_DRIVER_EDGE_CAP", "0")
     auto = dedup.dedup_clusters(planted_dir, threshold=0.8).to_pandas()
     assert calls, "edge count above the cap must take _cc_distributed"
+    assert calls == ["MaterializedDataset"], (
+        f"auto path must pass the edge DATASET, not a driver table: {calls}")
     calls.clear()
     monkeypatch.setenv("GRAFT_CC_DRIVER_EDGE_CAP", "1000000")
     driver = dedup.dedup_clusters(planted_dir, threshold=0.8).to_pandas()
@@ -706,3 +710,15 @@ def test_minhash_join_fallback_matches_broadcast(planted_dir, monkeypatch):
     assert dedup.minhash_lsh_pairs(
         planted_dir, threshold=0.7, verify=True).equals(base_lshv)
     assert base_pairs.num_rows > 0  # the parity check must not be vacuous
+
+
+def test_minhash_lsh_pairs_respects_shingle(planted_dir):
+    """Regression: the shingle argument must reach MinHashStage — it was
+    silently dropped (signatures always 3-gram), so est_jaccard scored a
+    different quantity than the one requested."""
+    t3 = dedup.minhash_lsh_pairs(planted_dir, threshold=0.05)
+    t8 = dedup.minhash_lsh_pairs(planted_dir, threshold=0.05, shingle=8)
+    assert t3.num_rows > 0
+    # different shingle width → different gram sets → different minhash
+    # signatures → the est_jaccard values cannot all coincide
+    assert not t3.equals(t8)
