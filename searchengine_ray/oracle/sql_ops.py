@@ -451,6 +451,42 @@ def ops_sql() -> dict[str, str]:
             FROM t
         """,
         "fingerprints": _FINGERPRINT_SQL,
+        # Gopher repetition filters: duplicate-line fraction (LF split,
+        # empty lines dropped, no trimming), duplicate-word-2-gram
+        # fraction, most-frequent-2-gram fraction — zero-denominator
+        # docs score 0.0, fractions 4dp half-up (matches
+        # analysis.repetition_batch exactly)
+        "repetition_stats": f"""
+            WITH l0 AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM documents),
+            l1 AS (SELECT doc_id, line FROM l0 WHERE line <> ''),
+            lc AS (SELECT doc_id, count(*)::BIGINT AS n_l,
+                          count(DISTINCT line)::BIGINT AS n_dl
+                   FROM l1 GROUP BY 1),
+            words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            idx AS (
+                SELECT doc_id, w,
+                       unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i
+                FROM words),
+            g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram FROM idx),
+            gc AS (SELECT doc_id, count(*)::BIGINT AS n_g,
+                          count(DISTINCT gram)::BIGINT AS n_dg
+                   FROM g GROUP BY 1),
+            gt AS (SELECT doc_id, max(c)::BIGINT AS top_c FROM
+                     (SELECT doc_id, gram, count(*)::BIGINT AS c
+                      FROM g GROUP BY 1, 2) GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(lc.n_l, 0)::BIGINT AS n_lines,
+                   {sql_round_half_up("CASE WHEN lc.n_l > 0 THEN 1.0 - lc.n_dl / lc.n_l::DOUBLE ELSE 0.0 END", 4)} AS dup_line_frac,
+                   COALESCE(gc.n_g, 0)::BIGINT AS n_2grams,
+                   {sql_round_half_up("CASE WHEN gc.n_g > 0 THEN 1.0 - gc.n_dg / gc.n_g::DOUBLE ELSE 0.0 END", 4)} AS dup_2gram_frac,
+                   {sql_round_half_up("CASE WHEN gc.n_g > 0 THEN gt.top_c / gc.n_g::DOUBLE ELSE 0.0 END", 4)} AS top_2gram_frac
+            FROM documents d
+            LEFT JOIN lc USING (doc_id)
+            LEFT JOIN gc USING (doc_id)
+            LEFT JOIN gt USING (doc_id)
+        """,
         "redact_pii": _redact_sql(),
         # ---- dedup ------------------------------------------------------
         "simhash_pairs": _SIMHASH_SQL.format(words=_WORDS),

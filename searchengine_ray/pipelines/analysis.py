@@ -248,6 +248,106 @@ def fingerprints(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# repetition filters (Gopher-style within-document quality signals)
+# ---------------------------------------------------------------------------
+
+_REP_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_lines", pa.int64()),
+        ("dup_line_frac", pa.float64()),
+        ("n_2grams", pa.int64()),
+        ("dup_2gram_frac", pa.float64()),
+        ("top_2gram_frac", pa.float64()),
+    ]
+)
+
+
+def _seg_rep_counts(parents: np.ndarray, values: pa.Array, n_rows: int):
+    """Per-row (total, distinct, top-run) counts of a flattened
+    (parent, value) stream — the shared kernel behind every repetition
+    signal.  Distinctness is exact: hash-table dictionary encode →
+    int codes → one int lexsort; run lengths per (parent, code) segment
+    give both the distinct count and the most-frequent-value count, all
+    numpy (no per-row Python)."""
+    total = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    distinct = np.zeros(n_rows, dtype=np.int64)
+    top = np.zeros(n_rows, dtype=np.int64)
+    if len(parents):
+        codes = pc.dictionary_encode(values)
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        codes = codes.indices.to_numpy()
+        order = np.lexsort((codes, parents))
+        p, c = parents[order], codes[order]
+        new = np.r_[True, (p[1:] != p[:-1]) | (c[1:] != c[:-1])]
+        starts = np.flatnonzero(new)
+        runlen = np.diff(np.r_[starts, len(p)]).astype(np.int64)
+        seg_parent = p[starts]
+        distinct = np.bincount(seg_parent, minlength=n_rows).astype(np.int64)
+        np.maximum.at(top, seg_parent, runlen)
+    return total, distinct, top
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc repetition signals — the Gopher repetition filters (Rae
+    et al. 2021, "Scaling Language Models", §A1.1) a pre-training
+    curation pass thresholds on:
+
+    - ``dup_line_frac``: 1 − distinct lines / lines (lines = text split
+      on LF, empty lines dropped; no trimming — the SQL twin must see
+      the same strings),
+    - ``dup_2gram_frac``: 1 − distinct word-2-grams / 2-gram windows,
+    - ``top_2gram_frac``: occurrences of the most frequent 2-gram /
+      windows (tokens: lower, split [^a-z0-9]+ — the shared ``_WORDS``
+      definition every gram oracle uses).
+
+    Zero-denominator docs score 0.0 (no nullable columns reach the
+    oracle compare); fractions are 4dp half-up.  Map-only: every signal
+    is within-document, so the operator is one ``map_batches`` pass with
+    NO shuffle — at 100 TB it scales with read bandwidth alone."""
+    n = batch.num_rows
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    # lines: exact strings, split on LF, empties dropped (both sides)
+    lines_nested = pc.split_pattern(texts, "\n")
+    flat_lines = pc.list_flatten(lines_nested)
+    line_parent = pc.list_parent_indices(lines_nested).to_numpy()
+    keep = pc.not_equal(flat_lines, "").to_numpy(zero_copy_only=False)
+    lt, ld, _ = _seg_rep_counts(line_parent[keep], flat_lines.filter(pa.array(keep)), n)
+    # word 2-grams: exact gram strings from the shared vectorized path
+    from .dedup import _flat_grams
+
+    grams, gram_parent = _flat_grams(texts, 2)
+    gt, gd, gtop = _seg_rep_counts(gram_parent, grams, n)
+
+    def frac(num: np.ndarray, den: np.ndarray) -> pa.Array:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            f = np.where(den > 0, num / np.maximum(den, 1), 0.0)
+        return pa.array(round_half_up(f, 4), pa.float64())
+
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(lt, pa.int64()),
+            "dup_line_frac": frac(lt - ld, lt),
+            "n_2grams": pa.array(gt, pa.int64()),
+            "dup_2gram_frac": frac(gt - gd, gt),
+            "top_2gram_frac": frac(gtop, gt),
+        }
+    )
+
+
+def repetition_stats(sf_dir: str):
+    """→ one ``_REP_SCHEMA`` row per document (see ``repetition_batch``)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # tf-idf keyword extraction
 # ---------------------------------------------------------------------------
 

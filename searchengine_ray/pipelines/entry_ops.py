@@ -44,6 +44,10 @@ def q_fingerprints(sf_dir: str):
     return analysis.fingerprints(sf_dir)
 
 
+def q_repetition_stats(sf_dir: str):
+    return analysis.repetition_stats(sf_dir)
+
+
 def q_dedup_exact(sf_dir: str):
     return _cast_int64(dedup.dedup_exact(sf_dir), ["keep_doc_id"])
 
@@ -232,6 +236,7 @@ OPS_QUERIES = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "repetition_stats": q_repetition_stats,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,

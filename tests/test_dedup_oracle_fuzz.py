@@ -131,3 +131,51 @@ def test_round4_text_ops_match_sql_oracles(texts, tmp_path_factory):
                 assert np.allclose(rn[c], on[c], rtol=0, atol=1e-9), (name, c, texts)
             else:
                 assert (rn[c].values == on[c].values).all(), (name, c, texts)
+
+
+NL_TEXT = st.lists(
+    st.lists(WORDS, min_size=0, max_size=6).map(" ".join),
+    min_size=0, max_size=5,
+).map("\n".join)
+
+
+@given(texts=st.lists(NL_TEXT, min_size=3, max_size=10))
+@settings(
+    max_examples=4,
+    deadline=None,
+    phases=[Phase.generate],
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+def test_repetition_stats_matches_sql_oracle(texts, tmp_path_factory):
+    """Gopher repetition filters vs the DuckDB twin on newline-bearing
+    texts (the sf corpora have no LF, so the line metrics get their real
+    signal here): empty lines, empty docs, repeated lines/grams and
+    unicode all match value-exactly."""
+    from searchengine_ray.pipelines import analysis
+
+    # plant a repetitive doc so the dup fractions light up
+    texts = list(texts) + ["dup line\ndup line\nother\n\ndup line",
+                           "a b a b a b a b"]
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s0"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("fzr")
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    r = _norm(analysis.repetition_stats(str(d)).to_pandas())
+    o = _norm(con.execute(ops_sql()["repetition_stats"]).fetchdf())
+    assert list(r.columns) == list(o.columns)
+    assert len(r) == n == len(o)
+    for c in r.columns:
+        if np.issubdtype(r[c].dtype, np.number):
+            assert np.allclose(r[c], o[c], rtol=0, atol=1e-9), (c, texts)
+        else:
+            assert (r[c].values == o[c].values).all(), (c, texts)

@@ -722,3 +722,36 @@ def test_minhash_lsh_pairs_respects_shingle(planted_dir):
     # different shingle width → different gram sets → different minhash
     # signatures → the est_jaccard values cannot all coincide
     assert not t3.equals(t8)
+
+
+def test_repetition_batch_planted_values():
+    """Hand-computed Gopher repetition signals: dup-line fraction over
+    LF-split non-empty lines, dup/top word-2-gram fractions, zero
+    denominators scoring 0.0."""
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "x y\nx y\n\nz w",   # 3 non-empty lines, 1 dup
+                    "a b a b a b",       # 5 2-grams: a-b x3, b-a x2
+                    "",                   # nothing at all
+                ]
+            ),
+        }
+    )
+    from searchengine_ray.pipelines.analysis import repetition_batch
+
+    r = repetition_batch(batch).to_pandas().set_index("doc_id")
+    assert r.loc[0].n_lines == 3 and abs(r.loc[0].dup_line_frac - round(1 / 3, 4)) < 1e-9
+    # doc 0 grams run over the WHOLE token stream (LF is just a token
+    # separator, exactly like the SQL twin): x-y, y-x, x-y, y-z, z-w
+    assert r.loc[0].n_2grams == 5
+    assert abs(r.loc[0].dup_2gram_frac - 0.2) < 1e-9  # 5 windows, 4 distinct
+    assert abs(r.loc[0].top_2gram_frac - 0.4) < 1e-9  # "x y" occurs 2/5
+    assert r.loc[1].n_lines == 1 and r.loc[1].dup_line_frac == 0.0
+    assert r.loc[1].n_2grams == 5
+    assert abs(r.loc[1].dup_2gram_frac - 0.6) < 1e-9  # 5 windows, 2 distinct
+    assert abs(r.loc[1].top_2gram_frac - 0.6) < 1e-9  # "a b" occurs 3/5
+    assert r.loc[2].n_lines == 0 and r.loc[2].n_2grams == 0
+    assert (r.loc[2][["dup_line_frac", "dup_2gram_frac", "top_2gram_frac"]] == 0.0).all()
