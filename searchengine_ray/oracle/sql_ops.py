@@ -347,6 +347,55 @@ def _redact_sql() -> str:
             + " FROM documents")
 
 
+def _repetition_sql(ns: tuple[int, ...] = (2, 3)) -> str:
+    """Gopher repetition filters twin of ``analysis.repetition_batch``:
+    duplicate-line fraction (LF split, empty lines dropped, no trimming),
+    duplicate-word-n-gram fraction and most-frequent-n-gram fraction per
+    ``ns`` width — zero-denominator docs score 0.0, fractions 4dp
+    half-up.  Grams run over the whole token stream (newlines are just
+    separators), exactly like the engine."""
+    ctes, cols, joins = [], [], []
+    for gn in ns:
+        cat = " || ' ' || ".join(f"w[i+{j}]" for j in range(gn))
+        ctes.append(f"""
+            idx{gn} AS (
+                SELECT doc_id, w,
+                       unnest(range(1, greatest(len(w) - {gn - 1}, 0) + 1)) AS i
+                FROM words),
+            g{gn} AS (SELECT doc_id, {cat} AS gram FROM idx{gn}),
+            gc{gn} AS (SELECT doc_id, count(*)::BIGINT AS n_g,
+                              count(DISTINCT gram)::BIGINT AS n_dg
+                       FROM g{gn} GROUP BY 1),
+            gt{gn} AS (SELECT doc_id, max(c)::BIGINT AS top_c FROM
+                         (SELECT doc_id, gram, count(*)::BIGINT AS c
+                          FROM g{gn} GROUP BY 1, 2) GROUP BY 1)""")
+        cols.append(f"""
+                   COALESCE(gc{gn}.n_g, 0)::BIGINT AS n_{gn}grams,
+                   {sql_round_half_up(f"CASE WHEN gc{gn}.n_g > 0 THEN 1.0 - gc{gn}.n_dg / gc{gn}.n_g::DOUBLE ELSE 0.0 END", 4)} AS dup_{gn}gram_frac,
+                   {sql_round_half_up(f"CASE WHEN gc{gn}.n_g > 0 THEN gt{gn}.top_c / gc{gn}.n_g::DOUBLE ELSE 0.0 END", 4)} AS top_{gn}gram_frac""")
+        joins.append(f"""
+            LEFT JOIN gc{gn} USING (doc_id)
+            LEFT JOIN gt{gn} USING (doc_id)""")
+    return f"""
+            WITH l0 AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM documents),
+            l1 AS (SELECT doc_id, line FROM l0 WHERE line <> ''),
+            lc AS (SELECT doc_id, count(*)::BIGINT AS n_l,
+                          count(DISTINCT line)::BIGINT AS n_dl
+                   FROM l1 GROUP BY 1),
+            words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            {",".join(ctes)}
+            SELECT d.doc_id,
+                   COALESCE(lc.n_l, 0)::BIGINT AS n_lines,
+                   {sql_round_half_up("CASE WHEN lc.n_l > 0 THEN 1.0 - lc.n_dl / lc.n_l::DOUBLE ELSE 0.0 END", 4)} AS dup_line_frac,
+                   {",".join(cols)}
+            FROM documents d
+            LEFT JOIN lc USING (doc_id)
+            {"".join(joins)}
+        """
+
+
 def ops_sql() -> dict[str, str]:
     r4 = sql_round_half_up
     # minhash_verified_pairs shares this oracle: LSH only PROPOSES
@@ -456,37 +505,7 @@ def ops_sql() -> dict[str, str]:
         # fraction, most-frequent-2-gram fraction — zero-denominator
         # docs score 0.0, fractions 4dp half-up (matches
         # analysis.repetition_batch exactly)
-        "repetition_stats": f"""
-            WITH l0 AS (
-                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
-                FROM documents),
-            l1 AS (SELECT doc_id, line FROM l0 WHERE line <> ''),
-            lc AS (SELECT doc_id, count(*)::BIGINT AS n_l,
-                          count(DISTINCT line)::BIGINT AS n_dl
-                   FROM l1 GROUP BY 1),
-            words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
-            idx AS (
-                SELECT doc_id, w,
-                       unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i
-                FROM words),
-            g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram FROM idx),
-            gc AS (SELECT doc_id, count(*)::BIGINT AS n_g,
-                          count(DISTINCT gram)::BIGINT AS n_dg
-                   FROM g GROUP BY 1),
-            gt AS (SELECT doc_id, max(c)::BIGINT AS top_c FROM
-                     (SELECT doc_id, gram, count(*)::BIGINT AS c
-                      FROM g GROUP BY 1, 2) GROUP BY 1)
-            SELECT d.doc_id,
-                   COALESCE(lc.n_l, 0)::BIGINT AS n_lines,
-                   {sql_round_half_up("CASE WHEN lc.n_l > 0 THEN 1.0 - lc.n_dl / lc.n_l::DOUBLE ELSE 0.0 END", 4)} AS dup_line_frac,
-                   COALESCE(gc.n_g, 0)::BIGINT AS n_2grams,
-                   {sql_round_half_up("CASE WHEN gc.n_g > 0 THEN 1.0 - gc.n_dg / gc.n_g::DOUBLE ELSE 0.0 END", 4)} AS dup_2gram_frac,
-                   {sql_round_half_up("CASE WHEN gc.n_g > 0 THEN gt.top_c / gc.n_g::DOUBLE ELSE 0.0 END", 4)} AS top_2gram_frac
-            FROM documents d
-            LEFT JOIN lc USING (doc_id)
-            LEFT JOIN gc USING (doc_id)
-            LEFT JOIN gt USING (doc_id)
-        """,
+        "repetition_stats": _repetition_sql(),
         "redact_pii": _redact_sql(),
         # ---- dedup ------------------------------------------------------
         "simhash_pairs": _SIMHASH_SQL.format(words=_WORDS),

@@ -259,6 +259,9 @@ _REP_SCHEMA = pa.schema(
         ("n_2grams", pa.int64()),
         ("dup_2gram_frac", pa.float64()),
         ("top_2gram_frac", pa.float64()),
+        ("n_3grams", pa.int64()),
+        ("dup_3gram_frac", pa.float64()),
+        ("top_3gram_frac", pa.float64()),
     ]
 )
 
@@ -297,10 +300,11 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
     - ``dup_line_frac``: 1 − distinct lines / lines (lines = text split
       on LF, empty lines dropped; no trimming — the SQL twin must see
       the same strings),
-    - ``dup_2gram_frac``: 1 − distinct word-2-grams / 2-gram windows,
-    - ``top_2gram_frac``: occurrences of the most frequent 2-gram /
+    - ``dup_{2,3}gram_frac``: 1 − distinct word-n-grams / n-gram windows,
+    - ``top_{2,3}gram_frac``: occurrences of the most frequent n-gram /
       windows (tokens: lower, split [^a-z0-9]+ — the shared ``_WORDS``
-      definition every gram oracle uses).
+      definition every gram oracle uses; grams run over the whole token
+      stream, newlines are just separators).
 
     Zero-denominator docs score 0.0 (no nullable columns reach the
     oracle compare); fractions are 4dp half-up.  Map-only: every signal
@@ -316,27 +320,26 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
     line_parent = pc.list_parent_indices(lines_nested).to_numpy()
     keep = pc.not_equal(flat_lines, "").to_numpy(zero_copy_only=False)
     lt, ld, _ = _seg_rep_counts(line_parent[keep], flat_lines.filter(pa.array(keep)), n)
-    # word 2-grams: exact gram strings from the shared vectorized path
+    # word n-grams: exact gram strings from the shared vectorized path
     from .dedup import _flat_grams
-
-    grams, gram_parent = _flat_grams(texts, 2)
-    gt, gd, gtop = _seg_rep_counts(gram_parent, grams, n)
 
     def frac(num: np.ndarray, den: np.ndarray) -> pa.Array:
         with np.errstate(invalid="ignore", divide="ignore"):
             f = np.where(den > 0, num / np.maximum(den, 1), 0.0)
         return pa.array(round_half_up(f, 4), pa.float64())
 
-    return pa.table(
-        {
-            "doc_id": batch["doc_id"],
-            "n_lines": pa.array(lt, pa.int64()),
-            "dup_line_frac": frac(lt - ld, lt),
-            "n_2grams": pa.array(gt, pa.int64()),
-            "dup_2gram_frac": frac(gt - gd, gt),
-            "top_2gram_frac": frac(gtop, gt),
-        }
-    )
+    cols = {
+        "doc_id": batch["doc_id"],
+        "n_lines": pa.array(lt, pa.int64()),
+        "dup_line_frac": frac(lt - ld, lt),
+    }
+    for gn in (2, 3):
+        grams, gram_parent = _flat_grams(texts, gn)
+        gt, gd, gtop = _seg_rep_counts(gram_parent, grams, n)
+        cols[f"n_{gn}grams"] = pa.array(gt, pa.int64())
+        cols[f"dup_{gn}gram_frac"] = frac(gt - gd, gt)
+        cols[f"top_{gn}gram_frac"] = frac(gtop, gt)
+    return pa.table(cols)
 
 
 def repetition_stats(sf_dir: str):

@@ -749,9 +749,18 @@ def test_repetition_batch_planted_values():
     assert r.loc[0].n_2grams == 5
     assert abs(r.loc[0].dup_2gram_frac - 0.2) < 1e-9  # 5 windows, 4 distinct
     assert abs(r.loc[0].top_2gram_frac - 0.4) < 1e-9  # "x y" occurs 2/5
+    # doc 0 3-grams: x-y-x, y-x-y, x-y-z, y-z-w -> 4 windows, all distinct
+    assert r.loc[0].n_3grams == 4
+    assert r.loc[0].dup_3gram_frac == 0.0
+    assert abs(r.loc[0].top_3gram_frac - 0.25) < 1e-9
     assert r.loc[1].n_lines == 1 and r.loc[1].dup_line_frac == 0.0
     assert r.loc[1].n_2grams == 5
     assert abs(r.loc[1].dup_2gram_frac - 0.6) < 1e-9  # 5 windows, 2 distinct
     assert abs(r.loc[1].top_2gram_frac - 0.6) < 1e-9  # "a b" occurs 3/5
-    assert r.loc[2].n_lines == 0 and r.loc[2].n_2grams == 0
-    assert (r.loc[2][["dup_line_frac", "dup_2gram_frac", "top_2gram_frac"]] == 0.0).all()
+    # doc 1 3-grams: a-b-a, b-a-b, a-b-a, b-a-b -> 4 windows, 2 distinct
+    assert r.loc[1].n_3grams == 4
+    assert abs(r.loc[1].dup_3gram_frac - 0.5) < 1e-9
+    assert abs(r.loc[1].top_3gram_frac - 0.5) < 1e-9
+    assert r.loc[2].n_lines == 0 and r.loc[2].n_2grams == 0 and r.loc[2].n_3grams == 0
+    assert (r.loc[2][["dup_line_frac", "dup_2gram_frac", "top_2gram_frac",
+                      "dup_3gram_frac", "top_3gram_frac"]] == 0.0).all()
