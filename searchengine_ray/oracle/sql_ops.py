@@ -369,9 +369,13 @@ def _repetition_sql(ns: tuple[int, ...] = (2, 3)) -> str:
             gt{gn} AS (SELECT doc_id, max(c)::BIGINT AS top_c FROM
                          (SELECT doc_id, gram, count(*)::BIGINT AS c
                           FROM g{gn} GROUP BY 1, 2) GROUP BY 1)""")
+        # subtract-then-divide, NOT 1.0 - d/t: the engine computes
+        # (total-distinct)/total, and the two float forms land on
+        # opposite sides of the 4dp half-up floor for denominators
+        # like 160 (1/160 rounds 0.0063 vs 0.0062)
         cols.append(f"""
                    COALESCE(gc{gn}.n_g, 0)::BIGINT AS n_{gn}grams,
-                   {sql_round_half_up(f"CASE WHEN gc{gn}.n_g > 0 THEN 1.0 - gc{gn}.n_dg / gc{gn}.n_g::DOUBLE ELSE 0.0 END", 4)} AS dup_{gn}gram_frac,
+                   {sql_round_half_up(f"CASE WHEN gc{gn}.n_g > 0 THEN (gc{gn}.n_g - gc{gn}.n_dg) / gc{gn}.n_g::DOUBLE ELSE 0.0 END", 4)} AS dup_{gn}gram_frac,
                    {sql_round_half_up(f"CASE WHEN gc{gn}.n_g > 0 THEN gt{gn}.top_c / gc{gn}.n_g::DOUBLE ELSE 0.0 END", 4)} AS top_{gn}gram_frac""")
         joins.append(f"""
             LEFT JOIN gc{gn} USING (doc_id)
@@ -388,7 +392,7 @@ def _repetition_sql(ns: tuple[int, ...] = (2, 3)) -> str:
             {",".join(ctes)}
             SELECT d.doc_id,
                    COALESCE(lc.n_l, 0)::BIGINT AS n_lines,
-                   {sql_round_half_up("CASE WHEN lc.n_l > 0 THEN 1.0 - lc.n_dl / lc.n_l::DOUBLE ELSE 0.0 END", 4)} AS dup_line_frac,
+                   {sql_round_half_up("CASE WHEN lc.n_l > 0 THEN (lc.n_l - lc.n_dl) / lc.n_l::DOUBLE ELSE 0.0 END", 4)} AS dup_line_frac,
                    {",".join(cols)}
             FROM documents d
             LEFT JOIN lc USING (doc_id)
@@ -500,11 +504,11 @@ def ops_sql() -> dict[str, str]:
             FROM t
         """,
         "fingerprints": _FINGERPRINT_SQL,
-        # Gopher repetition filters: duplicate-line fraction (LF split,
-        # empty lines dropped, no trimming), duplicate-word-2-gram
-        # fraction, most-frequent-2-gram fraction — zero-denominator
-        # docs score 0.0, fractions 4dp half-up (matches
-        # analysis.repetition_batch exactly)
+        # Gopher-style repetition filters: duplicate-line fraction (LF
+        # split, empty lines dropped, no trimming) plus duplicate- and
+        # most-frequent-gram fractions at widths 2 AND 3 —
+        # zero-denominator docs score 0.0, fractions 4dp half-up
+        # (matches analysis.repetition_batch exactly)
         "repetition_stats": _repetition_sql(),
         "redact_pii": _redact_sql(),
         # ---- dedup ------------------------------------------------------

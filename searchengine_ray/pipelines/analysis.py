@@ -288,19 +288,27 @@ def _seg_rep_counts(parents: np.ndarray, values: pa.Array, n_rows: int):
         runlen = np.diff(np.r_[starts, len(p)]).astype(np.int64)
         seg_parent = p[starts]
         distinct = np.bincount(seg_parent, minlength=n_rows).astype(np.int64)
-        np.maximum.at(top, seg_parent, runlen)
+        # max run length per parent via reduceat over the (sorted)
+        # parent-boundary starts — ufunc.at is the slow unbuffered path
+        # and the segment count approaches the window count on
+        # near-unique grams
+        pnew = np.r_[True, seg_parent[1:] != seg_parent[:-1]]
+        pstarts = np.flatnonzero(pnew)
+        top[seg_parent[pstarts]] = np.maximum.reduceat(runlen, pstarts)
     return total, distinct, top
 
 
 def repetition_batch(batch: pa.Table) -> pa.Table:
-    """Per-doc repetition signals — the Gopher repetition filters (Rae
-    et al. 2021, "Scaling Language Models", §A1.1) a pre-training
-    curation pass thresholds on:
+    """Per-doc repetition signals in the style of the Gopher repetition
+    filters (Rae et al. 2021, "Scaling Language Models", §A1.1) — NOTE:
+    these are COUNT fractions (duplicate windows / windows, duplicate
+    lines / lines), not the paper's character fractions, so the
+    published Gopher thresholds don't transplant verbatim:
 
-    - ``dup_line_frac``: 1 − distinct lines / lines (lines = text split
-      on LF, empty lines dropped; no trimming — the SQL twin must see
-      the same strings),
-    - ``dup_{2,3}gram_frac``: 1 − distinct word-n-grams / n-gram windows,
+    - ``dup_line_frac``: (lines − distinct lines) / lines (lines = text
+      split on LF, empty lines dropped; no trimming — the SQL twin must
+      see the same strings),
+    - ``dup_{2,3}gram_frac``: (windows − distinct word-n-grams) / windows,
     - ``top_{2,3}gram_frac``: occurrences of the most frequent n-gram /
       windows (tokens: lower, split [^a-z0-9]+ — the shared ``_WORDS``
       definition every gram oracle uses; grams run over the whole token
@@ -320,8 +328,11 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
     line_parent = pc.list_parent_indices(lines_nested).to_numpy()
     keep = pc.not_equal(flat_lines, "").to_numpy(zero_copy_only=False)
     lt, ld, _ = _seg_rep_counts(line_parent[keep], flat_lines.filter(pa.array(keep)), n)
-    # word n-grams: exact gram strings from the shared vectorized path
-    from .dedup import _flat_grams
+    # word n-grams: tokenize ONCE (the regex split is the dominant cost
+    # of this pass), then window each width off the shared flat stream
+    from .dedup import _flat_tokens, _grams_at, _window_starts
+
+    flat, parent = _flat_tokens(texts)
 
     def frac(num: np.ndarray, den: np.ndarray) -> pa.Array:
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -334,7 +345,12 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
         "dup_line_frac": frac(lt - ld, lt),
     }
     for gn in (2, 3):
-        grams, gram_parent = _flat_grams(texts, gn)
+        starts = _window_starts(parent, gn)
+        if len(starts):
+            grams = _grams_at(flat, starts, gn)
+            gram_parent = parent[starts].astype(np.int64)
+        else:
+            grams, gram_parent = pa.array([], pa.string()), np.empty(0, np.int64)
         gt, gd, gtop = _seg_rep_counts(gram_parent, grams, n)
         cols[f"n_{gn}grams"] = pa.array(gt, pa.int64())
         cols[f"dup_{gn}gram_frac"] = frac(gt - gd, gt)

@@ -45,7 +45,11 @@ def q_fingerprints(sf_dir: str):
 
 
 def q_repetition_stats(sf_dir: str):
-    return analysis.repetition_stats(sf_dir)
+    # pin the schema: a Dataset whose blocks are all empty loses it
+    # through to_pandas() (q_dup_spans precedent)
+    from .dedup import _collect_table
+
+    return _collect_table(analysis.repetition_stats(sf_dir), analysis._REP_SCHEMA)
 
 
 def q_dedup_exact(sf_dir: str):

@@ -764,3 +764,25 @@ def test_repetition_batch_planted_values():
     assert r.loc[2].n_lines == 0 and r.loc[2].n_2grams == 0 and r.loc[2].n_3grams == 0
     assert (r.loc[2][["dup_line_frac", "dup_2gram_frac", "top_2gram_frac",
                       "dup_3gram_frac", "top_3gram_frac"]] == 0.0).all()
+
+
+def test_repetition_frac_rounding_boundary_matches_oracle():
+    """Regression: the SQL twin must compute (total-distinct)/total like
+    the engine, not 1 - distinct/total — the two float forms land on
+    opposite sides of the 4dp half-up floor at denominators like 160
+    (1/160 -> 0.0063 vs 0.0062)."""
+    import duckdb
+
+    from searchengine_ray.oracle.sql_ops import ops_sql
+    from searchengine_ray.pipelines.analysis import repetition_batch
+
+    txt = "\n".join([f"line {i}" for i in range(159)] + ["line 0"])
+    tbl = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array([txt])})
+    r = repetition_batch(tbl).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    o = con.execute(ops_sql()["repetition_stats"]).fetchdf()
+    assert float(r.dup_line_frac[0]) == 0.0063
+    assert float(o.dup_line_frac[0]) == float(r.dup_line_frac[0])
+    for c in ("dup_2gram_frac", "top_2gram_frac", "dup_3gram_frac", "top_3gram_frac"):
+        assert abs(float(r[c][0]) - float(o[c][0])) < 1e-12, c
